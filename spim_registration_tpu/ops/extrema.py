@@ -1,0 +1,152 @@
+"""Local extremum detection + sub-pixel quadratic localization.
+
+Reference parity: ImgLib1 DoG peak detection (26-neighborhood strict
+extremum scan) and `SubpixelLocalization` (iterative 3x3x3 quadratic fit
+with re-centering; SURVEY.md section 2.3 / 7.3 "subpixel parity").
+
+TPU-native design: the extremum scan is a fully vectorized VPU stencil
+(27 shifted comparisons); peak selection uses `jax.lax.top_k` over the
+flattened response to produce a STATIC number of peaks with a validity
+mask, instead of a dynamic list.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _shifts3():
+    return [
+        (dz, dy, dx)
+        for dz in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if not (dz == 0 and dy == 0 and dx == 0)
+    ]
+
+
+def local_extrema_mask(dog: jnp.ndarray, find_maxima: bool = True,
+                       find_minima: bool = False) -> jnp.ndarray:
+    """Boolean mask of strict 26-neighborhood extrema (border excluded)."""
+    z, y, x = dog.shape
+    pad = jnp.pad(dog, 1, mode="edge")
+    center = dog
+    is_max = jnp.ones_like(dog, dtype=bool)
+    is_min = jnp.ones_like(dog, dtype=bool)
+    for dz, dy, dx in _shifts3():
+        nb = jax.lax.dynamic_slice(pad, (dz + 1, dy + 1, dx + 1), (z, y, x))
+        is_max &= center > nb
+        is_min &= center < nb
+    mask = jnp.zeros_like(dog, dtype=bool)
+    if find_maxima:
+        mask |= is_max
+    if find_minima:
+        mask |= is_min
+    # exclude the 1-voxel border (reference rejects boundary peaks)
+    border = jnp.zeros_like(mask)
+    border = border.at[1:-1, 1:-1, 1:-1].set(True)
+    return mask & border
+
+
+@partial(jax.jit, static_argnames=("max_peaks", "find_minima"))
+def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
+               find_minima: bool = False):
+    """Top-`max_peaks` strict extrema with |response| >= threshold.
+
+    Returns (coords (P,3) int32, response (P,), valid (P,) bool) — static
+    shapes; invalid rows are zero.
+    """
+    mask = local_extrema_mask(dog, True, find_minima)
+    score = jnp.where(mask, jnp.abs(dog), -jnp.inf)
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_peaks)
+    valid = (vals >= threshold) & jnp.isfinite(vals)
+    zz, yy, xx = jnp.unravel_index(idx, dog.shape)
+    coords = jnp.stack([zz, yy, xx], axis=-1).astype(jnp.int32)
+    resp = dog.reshape(-1)[idx]
+    coords = jnp.where(valid[:, None], coords, 0)
+    resp = jnp.where(valid, resp, 0.0)
+    return coords, resp, valid
+
+
+def _gather_neighborhood(dog_pad: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 neighborhood around integer coord c (into padded volume)."""
+    return jax.lax.dynamic_slice(dog_pad, (c[0], c[1], c[2]), (3, 3, 3))
+
+
+def _quadratic_step(nb: jnp.ndarray):
+    """One Newton step on the 3x3x3 quadratic model.
+
+    Returns (offset (3,), value_at_offset). Matches ImgLib's
+    SubpixelLocalization: gradient by central differences, Hessian by the
+    standard 27-point stencils, offset = -H^-1 g.
+    """
+    g = jnp.stack([
+        0.5 * (nb[2, 1, 1] - nb[0, 1, 1]),
+        0.5 * (nb[1, 2, 1] - nb[1, 0, 1]),
+        0.5 * (nb[1, 1, 2] - nb[1, 1, 0]),
+    ])
+    c = nb[1, 1, 1]
+    hzz = nb[2, 1, 1] - 2 * c + nb[0, 1, 1]
+    hyy = nb[1, 2, 1] - 2 * c + nb[1, 0, 1]
+    hxx = nb[1, 1, 2] - 2 * c + nb[1, 1, 0]
+    hzy = 0.25 * (nb[2, 2, 1] - nb[2, 0, 1] - nb[0, 2, 1] + nb[0, 0, 1])
+    hzx = 0.25 * (nb[2, 1, 2] - nb[2, 1, 0] - nb[0, 1, 2] + nb[0, 1, 0])
+    hyx = 0.25 * (nb[1, 2, 2] - nb[1, 0, 2] - nb[1, 2, 0] + nb[1, 0, 0])
+    H = jnp.array([[hzz, hzy, hzx], [hzy, hyy, hyx], [hzx, hyx, hxx]])
+    H = H + 1e-12 * jnp.eye(3, dtype=nb.dtype)
+    off = -jnp.linalg.solve(H, g)
+    val = c + 0.5 * jnp.dot(g, off)
+    return off, val
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def subpixel_localize(dog: jnp.ndarray, coords: jnp.ndarray,
+                      valid: jnp.ndarray, max_iterations: int = 4,
+                      max_offset: float = 0.5):
+    """Iteratively re-centered quadratic refinement (batched over peaks).
+
+    Follows the reference semantics: if any |offset| component > 0.5 the
+    integer center moves one voxel that way and the fit repeats (up to
+    `max_iterations`); peaks whose final offset still exceeds ~1 voxel or
+    that walk outside the volume are invalidated.
+    """
+    dog_pad = jnp.pad(dog, 1, mode="edge")
+    shape = jnp.asarray(dog.shape, dtype=jnp.int32)
+
+    def one(c0, ok0):
+        def body(state):
+            it, c, _off, _val, moved = state
+            nb = _gather_neighborhood(dog_pad, c)  # c is already +1-shifted? no
+            off, val = _quadratic_step(nb)
+            step = jnp.where(jnp.abs(off) > max_offset,
+                             jnp.sign(off).astype(jnp.int32), 0)
+            c_new = jnp.clip(c + step, 1, shape - 2)
+            moved = jnp.any(step != 0)
+            return it + 1, c_new, off, val, moved
+
+        def cond(state):
+            it, _c, _off, _val, moved = state
+            return (it < max_iterations) & moved
+
+        # coords are interior (border excluded), so c maps into padded
+        # volume at c (since pad=1 shifts by +1 and neighborhood starts at
+        # c-1 -> padded index c). Keep everything in original index space
+        # and slice padded at (c[0], c[1], c[2]).
+        it, c, off, val, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), c0, jnp.zeros(3, dog.dtype),
+                         dog[c0[0], c0[1], c0[2]], jnp.bool_(True))
+        )
+        pos = c.astype(dog.dtype) + off
+        ok = ok0 & jnp.all(jnp.abs(off) < 1.0) & jnp.all(
+            (pos >= 0) & (pos <= (shape - 1).astype(dog.dtype))
+        )
+        return pos, val, ok
+
+    pos, val, ok = jax.vmap(one)(coords, valid)
+    pos = jnp.where(ok[:, None], pos, 0.0)
+    val = jnp.where(ok, val, 0.0)
+    return pos, val, ok

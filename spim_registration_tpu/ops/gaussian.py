@@ -1,0 +1,118 @@
+"""Separable 3D Gaussian smoothing and Difference-of-Gaussian.
+
+The detection hot path (reference: ImgLib1 `DifferenceOfGaussianReal1` /
+`GaussianConvolutionReal` and the CUDA `CUDASeparableConvolution` bridge,
+SURVEY.md sections 2.3 and 2.8). TPU-native design: each axis convolution is
+expressed as a matmul of the (flattened other-axes x axis) view with a
+banded convolution matrix so it lands on the MXU; XLA fuses the three
+passes. Mirror ("reflect without repeating the edge sample") boundary
+handling matches the reference's `OutOfBoundsStrategyMirrorFactory`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel_1d(sigma: float, dtype=np.float32) -> np.ndarray:
+    """Sampled, normalized 1D Gaussian. Radius matches ImgLib's
+    `Util.createGaussianKernel1DDouble`: radius = max(3, 2*ceil(3 sigma)+1)//2."""
+    if sigma <= 0:
+        return np.ones((1,), dtype=dtype)
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return k.astype(dtype)
+
+
+def mirror_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
+    """Mirror padding without repeating the edge sample (ImgLib 'single
+    boundary' mirror)."""
+    if pad == 0:
+        return x
+    n = x.shape[axis]
+    if pad > n - 1:
+        # fall back to symmetric tiling for very small axes
+        reps = int(math.ceil(pad / max(n - 1, 1))) + 1
+        for _ in range(reps):
+            x = mirror_pad(x, min(pad, x.shape[axis] - 1), axis)
+            if x.shape[axis] >= n + 2 * pad:
+                break
+        sl = [slice(None)] * x.ndim
+        start = (x.shape[axis] - (n + 2 * pad)) // 2
+        sl[axis] = slice(start, start + n + 2 * pad)
+        return x[tuple(sl)]
+    lo = jax.lax.slice_in_dim(x, 1, pad + 1, axis=axis)
+    hi = jax.lax.slice_in_dim(x, n - pad - 1, n - 1, axis=axis)
+    return jnp.concatenate(
+        [jnp.flip(lo, axis=axis), x, jnp.flip(hi, axis=axis)], axis=axis
+    )
+
+
+def _conv_axis_matmul(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Convolve one axis by building the banded conv matrix and matmul-ing.
+
+    For axis length n and kernel length 2r+1 the padded length is n+2r and
+    the conv matrix C has C[i, i+j] = k[j]; out = padded @ C^T along `axis`.
+    MXU-friendly (one big matmul per axis) for the volume sizes we use.
+    """
+    r = (kernel.shape[0] - 1) // 2
+    xp = mirror_pad(x, r, axis)
+    n = x.shape[axis]
+    npad = xp.shape[axis]
+    # Build C (n, npad) as a static constant folded by XLA.
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(npad)[None, :]
+    band = j - i  # valid taps at 0..2r
+    C = jnp.where(
+        (band >= 0) & (band <= 2 * r),
+        kernel[jnp.clip(band, 0, 2 * r)],
+        0.0,
+    ).astype(x.dtype)
+    xp = jnp.moveaxis(xp, axis, -1)
+    out = jnp.einsum("...p,np->...n", xp, C, preferred_element_type=x.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+@partial(jax.jit, static_argnames=("sigmas",))
+def gaussian_blur_3d(vol: jnp.ndarray, sigmas) -> jnp.ndarray:
+    """Separable Gaussian blur; `sigmas` = (sz, sy, sx) static floats."""
+    out = vol
+    for axis, s in enumerate(sigmas):
+        k = jnp.asarray(gaussian_kernel_1d(float(s)), dtype=vol.dtype)
+        if k.shape[0] > 1:
+            out = _conv_axis_matmul(out, k, axis)
+    return out
+
+
+def dog_sigmas(sigma: float, threshold: float, k: float | None = None,
+               steps_per_octave: int = 4):
+    """Reproduce the reference's DoG parameterization.
+
+    ImgLib1 `DifferenceOfGaussianPeak` detection uses sigma1 = sigma and
+    sigma2 = sigma * k with k = 2^(1/steps), and normalizes the DoG response
+    by K_MIN1_INV = 1/(k-1) (so thresholds are comparable across k).
+    Returns (sigma1, sigma2, norm).
+    """
+    if k is None:
+        k = 2.0 ** (1.0 / steps_per_octave)
+    return sigma, sigma * k, 1.0 / (k - 1.0)
+
+
+@partial(jax.jit, static_argnames=("sigma1", "sigma2"))
+def difference_of_gaussian(vol: jnp.ndarray, sigma1, sigma2) -> jnp.ndarray:
+    """DoG response = blur(sigma1) - blur(sigma2) (bright blobs positive).
+
+    sigma1 < sigma2; each may be a scalar or per-axis (sz, sy, sx) tuple.
+    """
+    s1 = sigma1 if isinstance(sigma1, tuple) else (sigma1,) * 3
+    s2 = sigma2 if isinstance(sigma2, tuple) else (sigma2,) * 3
+    g1 = gaussian_blur_3d(vol, s1)
+    g2 = gaussian_blur_3d(vol, s2)
+    return g1 - g2
