@@ -1,0 +1,99 @@
+"""Difference-of-Gaussian interest-point detection pipeline.
+
+Reference parity: `spim/process/interestpointdetection/ProcessDOG` +
+headless `DoG`/`DoGParameters` (SURVEY.md sections 2.3, 2.10, call stack
+3.1). Per view: optional per-axis downsample -> DoG (sigma, sigma*k) ->
+strict 26-neighborhood extrema above threshold -> iterative subpixel
+quadratic localization -> coordinates mapped back to full resolution.
+
+TPU-native: everything static-shape (top-k peak lists + validity masks);
+the per-view loop is host-side (views differ in size), while all voxel work
+is a single jitted device program per view shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spim_registration_tpu.ops.downsample import downsample, upscale_coords
+from spim_registration_tpu.ops.extrema import find_peaks, subpixel_localize
+from spim_registration_tpu.ops.gaussian import difference_of_gaussian, dog_sigmas
+
+
+@dataclasses.dataclass(frozen=True)
+class DoGParameters:
+    """Headless detection parameters (reference `DoGParameters` analog).
+
+    sigma/threshold defaults follow the reference GUI defaults
+    (sigma ~1.8, threshold ~0.008 on normalized images).
+    """
+
+    sigma: float = 1.8
+    threshold: float = 0.008
+    max_peaks: int = 8192
+    find_minima: bool = False       # reference: detect min/max choice
+    downsample_xy: int = 1          # power of two
+    downsample_z: int = 1
+    steps_per_octave: int = 4       # fixes k = 2^(1/steps)
+    normalize: bool = True          # min/max normalize image first
+    min_intensity: float | None = None
+    max_intensity: float | None = None
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _detect_device(vol: jnp.ndarray, params: DoGParameters):
+    v = vol.astype(jnp.float32)
+    if params.normalize:
+        if params.min_intensity is not None and params.max_intensity is not None:
+            lo = jnp.float32(params.min_intensity)
+            hi = jnp.float32(params.max_intensity)
+        else:
+            lo = jnp.min(v)
+            hi = jnp.max(v)
+        v = (v - lo) / jnp.maximum(hi - lo, 1e-12)
+
+    factors = (params.downsample_z, params.downsample_xy, params.downsample_xy)
+    if any(f > 1 for f in factors):
+        v = downsample(v, factors)
+
+    s1, s2, norm = dog_sigmas(params.sigma, params.threshold,
+                              steps_per_octave=params.steps_per_octave)
+    dog = difference_of_gaussian(v, s1, s2) * jnp.float32(norm)
+    coords, resp, valid = find_peaks(
+        dog, params.threshold, params.max_peaks, params.find_minima
+    )
+    pos, val, ok = subpixel_localize(dog, coords, valid)
+    pos = upscale_coords(pos, factors)
+    return pos, val, ok
+
+
+def detect_beads(vol, params: DoGParameters = DoGParameters()):
+    """Detect interest points in one view volume.
+
+    Returns (points (N,3) np.float32 full-res (z,y,x), responses (N,)) with
+    only valid rows (host-side compaction — the device program is static).
+    """
+    pos, val, ok = _detect_device(jnp.asarray(vol), params)
+    ok = np.asarray(ok)
+    return np.asarray(pos)[ok], np.asarray(val)[ok]
+
+
+def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",
+                         params: DoGParameters = DoGParameters()) -> None:
+    """Run detection over dataset views and store InterestPoints (stage 1
+    of the pipeline; the reference's Interest_Point_Detection plugin)."""
+    if view_ids is None:
+        view_ids = sorted(dataset.views)
+    for vid in view_ids:
+        img = dataset.get_image(vid)
+        pts, resp = detect_beads(img, params)
+        dataset.set_interest_points(
+            vid, label, pts, resp,
+            parameters=f"DoG s={params.sigma} t={params.threshold} "
+                       f"ds=xy{params.downsample_xy}/z{params.downsample_z}",
+        )

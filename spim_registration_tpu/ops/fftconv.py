@@ -53,7 +53,7 @@ def prepare_kernel_fft(kernel: jnp.ndarray, fft_shape) -> jnp.ndarray:
     return jnp.fft.rfftn(kp)
 
 
-@partial(jax.jit, static_argnames=("img_shape",))
+@partial(jax.jit, static_argnames=("img_shape", "lo_pads"))
 def _conv_padded(img_pad: jnp.ndarray, kfft: jnp.ndarray, img_shape,
                  lo_pads) -> jnp.ndarray:
     f = jnp.fft.rfftn(img_pad)

@@ -1,0 +1,117 @@
+"""Detection + matching tests, up to the two-view end-to-end slice."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spim_registration_tpu.detect import DoGParameters, detect_beads
+from spim_registration_tpu.detect.dom import DoMParameters, detect_beads_dom
+from spim_registration_tpu.match import PairwiseParameters, match_pair
+from spim_registration_tpu.match.descriptors import local_coordinate_descriptors
+from spim_registration_tpu.match.neighbors import knn
+from spim_registration_tpu.models.affine import apply_affine
+
+from synth import make_two_view_scene, random_rotation, render_beads
+
+
+def test_knn_masked(rng):
+    pts = np.zeros((16, 3), np.float32)
+    pts[:5] = [[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 0, 10], [0, 0, 20]]
+    valid = np.zeros(16, bool)
+    valid[:5] = True
+    idx, dist = knn(jnp.asarray(pts), jnp.asarray(valid), 2)
+    # nearest neighbors of point 0 are 1 then 2
+    assert list(np.asarray(idx)[0]) == [1, 2]
+    np.testing.assert_allclose(np.asarray(dist)[0], [1.0, 2.0], atol=1e-5)
+
+
+def test_detection_recovers_beads(rng):
+    pts = rng.uniform(10, 54, size=(30, 3))
+    vol = render_beads(pts, (64, 64, 64), sigma=1.7)
+    vol += rng.normal(0, 0.01, vol.shape).astype(np.float32)
+    found, resp = detect_beads(vol, DoGParameters(sigma=1.8, threshold=0.005))
+    assert len(found) >= 27
+    d = np.linalg.norm(pts[:, None] - found[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.3
+
+
+def test_detection_with_downsampling(rng):
+    pts = rng.uniform(20, 100, size=(40, 3))
+    vol = render_beads(pts, (128, 128, 128), sigma=2.5)
+    found, _ = detect_beads(
+        vol, DoGParameters(sigma=1.6, threshold=0.003,
+                           downsample_xy=2, downsample_z=2))
+    assert len(found) >= 30
+    d = np.linalg.norm(pts[:, None] - found[None], axis=-1).min(axis=1)
+    # coordinates must come back in full-res space
+    assert np.median(d) < 1.0
+
+
+def test_dom_detection(rng):
+    pts = rng.uniform(10, 54, size=(25, 3))
+    vol = render_beads(pts, (64, 64, 64), sigma=1.7)
+    found, _ = detect_beads_dom(vol, DoMParameters(threshold=0.003))
+    assert len(found) >= 20
+    d = np.linalg.norm(pts[:, None] - found[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.7
+
+
+def test_descriptors_rotation_invariant(rng):
+    pts = rng.uniform(0, 100, size=(64, 3)).astype(np.float32)
+    valid = np.ones(64, bool)
+    R = random_rotation(rng, 40.0)
+    pts_r = (pts @ R.T + rng.uniform(-5, 5, 3)).astype(np.float32)
+    d1, ok1 = local_coordinate_descriptors(jnp.asarray(pts), jnp.asarray(valid))
+    d2, ok2 = local_coordinate_descriptors(jnp.asarray(pts_r), jnp.asarray(valid))
+    assert bool(jnp.all(ok1)) and bool(jnp.all(ok2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-2)
+
+
+@pytest.mark.parametrize("method", ["geometric_hashing", "rgldm"])
+def test_match_pair_point_clouds(rng, method):
+    """Pure point-cloud matching under a known rigid transform."""
+    n = 150
+    a = rng.uniform(0, 200, size=(n, 3)).astype(np.float32)
+    R = random_rotation(rng, 20.0)
+    t = rng.uniform(-10, 10, 3)
+    b = (a @ R.T + t + rng.normal(0, 0.1, (n, 3))).astype(np.float32)
+    # shuffle b so indices differ
+    perm = rng.permutation(n)
+    b = b[perm]
+    ratio = 10.0 if method == "geometric_hashing" else 2.0
+    params = PairwiseParameters(
+        method=method, model="rigid", ratio_of_distance=ratio,
+        max_points=256)
+    res = match_pair(a, b, params)
+    assert res.valid, res
+    assert res.num_inliers > n * 0.5
+    # check correspondences are the true ones
+    correct = sum(1 for ia, ib in res.inliers if perm[ib] == ia)
+    assert correct / max(len(res.inliers), 1) > 0.95
+    # model maps a onto b
+    mapped = np.asarray(apply_affine(jnp.asarray(res.model), jnp.asarray(a)))
+    true_b = a @ R.T + t
+    assert np.mean(np.linalg.norm(mapped - true_b, axis=1)) < 0.5
+
+
+def test_two_view_end_to_end(rng):
+    """BASELINE config #1: detect + match + register two synthetic views."""
+    scene = make_two_view_scene(rng, shape=(96, 96, 96), n_beads=90,
+                                max_angle_deg=8.0)
+    params_d = DoGParameters(sigma=1.8, threshold=0.004)
+    pts_a, _ = detect_beads(scene["vol_a"], params_d)
+    pts_b, _ = detect_beads(scene["vol_b"], params_d)
+    assert len(pts_a) >= 60 and len(pts_b) >= 60
+
+    res = match_pair(pts_b, pts_a,
+                     PairwiseParameters(method="geometric_hashing",
+                                        model="affine", max_points=256))
+    assert res.valid, res
+    # recovered model should match the true B->world affine
+    true_A = scene["b_to_world"]
+    test_pts = scene["view_b_points"].astype(np.float32)
+    mapped = np.asarray(apply_affine(jnp.asarray(res.model, jnp.float32),
+                                     jnp.asarray(test_pts)))
+    true_mapped = test_pts @ true_A[:, :3].T + true_A[:, 3]
+    err = np.linalg.norm(mapped - true_mapped, axis=1)
+    assert np.mean(err) < 0.5, f"mean transform error {np.mean(err):.3f}px"

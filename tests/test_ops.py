@@ -1,0 +1,150 @@
+"""Kernel unit tests against numpy/scipy-style reference twins."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spim_registration_tpu.ops.downsample import downsample, upscale_coords
+from spim_registration_tpu.ops.extrema import find_peaks, subpixel_localize
+from spim_registration_tpu.ops.fftconv import (
+    direct_convolve_np,
+    fft_convolve,
+    pad_shape_for,
+    prepare_kernel_fft,
+)
+from spim_registration_tpu.ops.gaussian import (
+    difference_of_gaussian,
+    gaussian_blur_3d,
+    gaussian_kernel_1d,
+    mirror_pad,
+)
+from spim_registration_tpu.ops.integral import box_mean, integral_image
+from spim_registration_tpu.ops.resample import resample_affine, trilinear_sample
+
+
+def gaussian_blur_np(vol, sigma):
+    """Separable reference implementation in numpy (mirror boundary)."""
+    out = vol.astype(np.float64)
+    for ax in range(3):
+        k = gaussian_kernel_1d(sigma, np.float64)
+        r = (len(k) - 1) // 2
+        pad_widths = [(0, 0)] * 3
+        pad_widths[ax] = (r, r)
+        p = np.pad(out, pad_widths, mode="reflect")
+        out = np.apply_along_axis(
+            lambda m: np.convolve(m, k[::-1], mode="valid"), ax, p
+        )
+    return out
+
+
+def test_mirror_pad_matches_numpy_reflect(rng):
+    x = jnp.asarray(rng.normal(size=(5, 6, 7)).astype(np.float32))
+    out = mirror_pad(x, 2, 1)
+    ref = np.pad(np.asarray(x), ((0, 0), (2, 2), (0, 0)), mode="reflect")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_gaussian_blur_matches_reference(rng):
+    vol = rng.normal(size=(16, 20, 24)).astype(np.float32)
+    out = gaussian_blur_3d(jnp.asarray(vol), (1.5, 1.5, 1.5))
+    ref = gaussian_blur_np(vol, 1.5)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_gaussian_preserves_mean(rng):
+    vol = rng.uniform(size=(12, 12, 12)).astype(np.float32)
+    out = gaussian_blur_3d(jnp.asarray(vol), (2.0, 2.0, 2.0))
+    # mirror boundary preserves total mass approximately
+    assert abs(float(jnp.mean(out)) - vol.mean()) < 1e-2
+
+
+def test_dog_finds_single_bead():
+    vol = np.zeros((32, 32, 32), np.float32)
+    zz, yy, xx = np.meshgrid(*[np.arange(32)] * 3, indexing="ij")
+    c = (15.3, 16.7, 14.2)
+    vol += np.exp(-(((zz - c[0]) ** 2 + (yy - c[1]) ** 2
+                     + (xx - c[2]) ** 2) / (2 * 2.0 ** 2)))
+    dog = difference_of_gaussian(jnp.asarray(vol), 1.8, 1.8 * 2 ** 0.25)
+    coords, resp, valid = find_peaks(dog, 1e-4, max_peaks=8)
+    pos, val, ok = subpixel_localize(dog, coords, valid)
+    assert int(np.sum(np.asarray(ok))) >= 1
+    best = np.asarray(pos)[np.asarray(ok)][0]
+    assert np.linalg.norm(best - np.array(c)) < 0.3
+
+
+def test_downsample_and_coordinate_fixup(rng):
+    vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    out = downsample(jnp.asarray(vol), (2, 2, 2))
+    assert out.shape == (8, 8, 8)
+    ref = vol.reshape(8, 2, 8, 2, 8, 2)[:, :, :, :, :, 0]
+    # averaging along each axis: compare one voxel manually
+    manual = vol[0:2, 0:2, 0:2].mean()
+    np.testing.assert_allclose(float(out[0, 0, 0]), manual, atol=1e-5)
+    c = upscale_coords(jnp.asarray([[1.0, 2.0, 3.0]]), (2, 2, 2))
+    np.testing.assert_allclose(np.asarray(c)[0], [2.5, 4.5, 6.5])
+
+
+def test_integral_box_mean(rng):
+    vol = rng.uniform(size=(10, 11, 12)).astype(np.float32)
+    out = box_mean(jnp.asarray(vol), 1)
+    # interior voxel: mean of 3^3 neighborhood
+    ref = vol[2:5, 3:6, 4:7].mean()
+    np.testing.assert_allclose(float(out[3, 4, 5]), ref, rtol=1e-4)
+
+
+def test_fft_convolve_matches_direct(rng):
+    img = rng.uniform(size=(12, 13, 14)).astype(np.float32)
+    kernel = rng.uniform(size=(5, 5, 3)).astype(np.float32)
+    kernel /= kernel.sum()
+    out = fft_convolve(jnp.asarray(img), jnp.asarray(kernel))
+    ref = direct_convolve_np(img, kernel)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_fft_convolve_precomputed_kernel(rng):
+    img = rng.uniform(size=(16, 16, 16)).astype(np.float32)
+    kernel = rng.uniform(size=(7, 7, 7)).astype(np.float32)
+    fshape = pad_shape_for(img.shape, kernel.shape)
+    kfft = prepare_kernel_fft(jnp.asarray(kernel), fshape)
+    out1 = fft_convolve(jnp.asarray(img), jnp.asarray(kernel))
+    out2 = fft_convolve(jnp.asarray(img), jnp.asarray(kernel),
+                        kernel_fft=kfft, fft_shape=fshape)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_trilinear_sample_exact_on_grid(rng):
+    vol = rng.uniform(size=(8, 9, 10)).astype(np.float32)
+    coords = jnp.asarray([[2.0, 3.0, 4.0], [0.0, 0.0, 0.0],
+                          [7.0, 8.0, 9.0]])
+    vals, inside = trilinear_sample(jnp.asarray(vol), coords)
+    np.testing.assert_allclose(
+        np.asarray(vals), [vol[2, 3, 4], vol[0, 0, 0], vol[7, 8, 9]],
+        rtol=1e-5)
+    assert bool(jnp.all(inside))
+
+
+def test_trilinear_outside_masked():
+    vol = jnp.ones((4, 4, 4), jnp.float32)
+    vals, inside = trilinear_sample(vol, jnp.asarray([[-1.0, 0.0, 0.0],
+                                                      [2.5, 2.0, 2.0]]))
+    assert not bool(inside[0])
+    assert bool(inside[1])
+    assert float(vals[0]) == 0.0
+
+
+def test_resample_identity(rng):
+    vol = rng.uniform(size=(6, 7, 8)).astype(np.float32)
+    eye = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    out, inside = resample_affine(jnp.asarray(vol), eye, (6, 7, 8))
+    np.testing.assert_allclose(np.asarray(out), vol, rtol=1e-5)
+    assert bool(jnp.all(inside))
+
+
+def test_resample_translation(rng):
+    vol = rng.uniform(size=(8, 8, 8)).astype(np.float32)
+    # world_to_view shifting sampling by +1 in z: out[z] = vol[z+1]
+    A = jnp.concatenate([jnp.eye(3), jnp.asarray([[1.0], [0.0], [0.0]])],
+                        axis=1)
+    out, inside = resample_affine(jnp.asarray(vol), A, (8, 8, 8))
+    np.testing.assert_allclose(np.asarray(out)[:7], vol[1:], rtol=1e-5)
+    assert not bool(inside[7, 0, 0])
