@@ -1,0 +1,98 @@
+"""Benchmark: multi-view RL deconvolution throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: RL voxel-updates/s = Z*Y*X * n_views * n_iterations / wall_time
+for the efficient-Bayesian multi-view RL engine (the framework's hottest
+path; BASELINE config #4).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the 2014 paper
+reports minutes-scale per iteration on multicore CPU for ~1e9-voxel 7-view
+data. Taking 3 min/iteration => 7e9 voxel-updates / 180 s ~= 3.9e7
+voxel-updates/s; we use 4e7 as the baseline denominator (approximate,
+from-memory paper figure — see BASELINE.md provenance caveat).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_root = Path(__file__).resolve().parent
+if str(_root) not in sys.path:
+    sys.path.insert(0, str(_root))
+
+import numpy as np
+
+BASELINE_VOXEL_UPDATES_PER_S = 4.0e7
+
+SHAPE = (192, 192, 192)
+N_VIEWS = 4
+N_ITER = 10
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.deconv import (
+        DeconvolutionParameters,
+        deconvolve,
+        gaussian_psf,
+        prepare_views_for_deconvolution,
+    )
+    from spim_registration_tpu.ops.fftconv import fft_convolve
+    from spim_registration_tpu.utils.simulation import render_beads
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    pts = rng.uniform(16, SHAPE[0] - 16, size=(150, 3))
+    truth = render_beads(pts, SHAPE, sigma=1.0)
+    sigmas = [(3.0, 1.0, 1.0), (1.0, 1.0, 3.0), (2.0, 1.2, 1.2),
+              (1.2, 1.2, 2.0)]
+    psfs = [gaussian_psf((15, 15, 15), s) for s in sigmas[:N_VIEWS]]
+    # blur on device (fast) instead of the slow numpy twin
+    import jax.numpy as jnp
+    views = [np.asarray(fft_convolve(jnp.asarray(truth), jnp.asarray(p)))
+             for p in psfs]
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    bbox = BoundingBox("b", (0, 0, 0), SHAPE)
+    prep = prepare_views_for_deconvolution(views, [ident] * N_VIEWS, psfs,
+                                           bbox)
+    log(f"setup: {time.time()-t0:.1f}s")
+
+    params = DeconvolutionParameters(num_iterations=N_ITER,
+                                     psf_type="efficient_bayesian")
+    t0 = time.time()
+    out = deconvolve(prep, params)  # includes compile
+    compile_and_run = time.time() - t0
+    log(f"first run (incl compile): {compile_and_run:.1f}s")
+
+    t0 = time.time()
+    out = deconvolve(prep, params)
+    wall = time.time() - t0
+    log(f"steady-state run: {wall:.2f}s for {N_ITER} iterations x "
+        f"{N_VIEWS} views over {SHAPE}")
+    assert np.all(np.isfinite(out))
+
+    voxel_updates = float(np.prod(SHAPE)) * N_VIEWS * N_ITER
+    value = voxel_updates / wall
+    print(json.dumps({
+        "metric": "rl_deconv_voxel_updates_per_s",
+        "value": value,
+        "unit": "voxel-updates/s/chip",
+        "vs_baseline": value / BASELINE_VOXEL_UPDATES_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Multi-view Richardson-Lucy deconvolution (SURVEY.md section 2.7)."""
+
+from spim_registration_tpu.deconv.lucy_richardson import (  # noqa: F401
+    DeconvolutionParameters,
+    PSFType,
+    deconvolve,
+)
+from spim_registration_tpu.deconv.prep import (  # noqa: F401
+    DeconvolutionViews,
+    prepare_views_for_deconvolution,
+)
+from spim_registration_tpu.deconv.psf import (  # noqa: F401
+    extract_psf,
+    gaussian_psf,
+)

@@ -1,0 +1,191 @@
+"""Multi-view Richardson-Lucy deconvolution engine.
+
+Reference parity: `mpicbg/spim/postprocessing/deconvolution2/
+BayesMVDeconvolution` + `LRFFT` + `LRInput` (SURVEY.md section 2.7; the
+"Efficient Bayesian-based multi-view deconvolution" Nature Methods 2014
+algorithm):
+
+    psi^0 = weighted average of the views (or constant)
+    per iteration, per view v (sequential = OSEM ordering):
+        conv1 = psi (x) P_v                      (kernel1)
+        q     = img_v / conv1          (clamped)
+        conv2 = q (x) K2_v                       (kernel2, PSFTYPE variant)
+        psi  <- psi * (1 + osem * w_v * (conv2 - 1)),  clamped to minValue
+    optional Tikhonov damping with lambda.
+
+kernel2 variants (`LRFFT.PSFTYPE`) — the compound kernels of the 2014
+paper; the per-virtual-view terms combine by POINTWISE multiplication
+(sharpening K2 toward a delta, which is what accelerates convergence):
+  INDEPENDENT         K2_v = P_v*                      (classic MV-RL)
+  EFFICIENT_BAYESIAN  K2_v = P_v* . prod_{w!=v} (P_v* (x) P_w (x) P_w*)
+  OPTIMIZATION_I      K2_v = P_v* . prod_{w!=v} (P_v* (x) P_w)
+                      (virtual views assumed undegraded)
+  OPTIMIZATION_II     K2_v = P_v* . (P_v* (x) P_v)
+                      (self-term only; cheapest)
+  ('.' = pointwise product on the common support, '(x)' = convolution;
+  results renormalized to sum 1. Exact OPT_I/II forms to re-verify
+  against the reference when its mount has content.)
+
+TPU-native design: psi and all views stay resident in HBM for the whole
+run; kernel FFTs are precomputed once; the view loop is a `lax.scan` and
+the iteration loop `lax.fori_loop`, so the entire deconvolution is ONE
+XLA program (the reference crosses JVM->CUDA per block per conv). The
+sharded multi-chip variant lives in `parallel/` (z-sharded overlap
+exchange).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spim_registration_tpu.ops.fftconv import (
+    fft_convolve,
+    pad_shape_for,
+    prepare_kernel_fft,
+)
+
+PSFType = str  # "independent" | "efficient_bayesian" | "optimization_i" | "optimization_ii"
+
+
+@dataclasses.dataclass(frozen=True)
+class DeconvolutionParameters:
+    num_iterations: int = 10
+    psf_type: PSFType = "efficient_bayesian"
+    osem_factor: Optional[float] = None   # None -> from prep (overlap count)
+    tikhonov_lambda: float = 0.0006       # reference default lambda
+    min_value: float = 0.0001             # psi floor (x avg intensity)
+    init: str = "average"                 # "average" | "constant"
+    debug_interval: int = 0               # if >0, collect psi every k iters
+
+
+def _mirror(k: np.ndarray) -> np.ndarray:
+    return k[::-1, ::-1, ::-1].copy()
+
+
+def _np_conv_same(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Convolution of two small kernels, cropped to a.shape (centered)."""
+    import numpy.fft as fft
+
+    shape = tuple(sa + sb - 1 for sa, sb in zip(a.shape, b.shape))
+    axes = (0, 1, 2)
+    full = fft.irfftn(fft.rfftn(a, shape, axes) * fft.rfftn(b, shape, axes),
+                      shape, axes)
+    sl = tuple(slice((f - s) // 2, (f - s) // 2 + s)
+               for f, s in zip(shape, a.shape))
+    return full[sl]
+
+
+def compound_kernels(psfs: Sequence[np.ndarray], psf_type: PSFType
+                     ) -> List[np.ndarray]:
+    """Build kernel2 for each view per the PSFTYPE ladder (docstring above).
+
+    All pointwise-product terms are evaluated on P_v's support.
+    """
+    psfs = [np.asarray(p, np.float64) for p in psfs]
+    out = []
+    for v, p in enumerate(psfs):
+        pvm = _mirror(p)
+        k2 = pvm.copy()
+        if psf_type == "independent":
+            pass
+        elif psf_type == "efficient_bayesian":
+            for w, pw in enumerate(psfs):
+                if w == v:
+                    continue
+                term = _np_conv_same(_np_conv_same(pvm, pw), _mirror(pw))
+                k2 = k2 * np.maximum(term, 0.0)
+        elif psf_type == "optimization_i":
+            for w, pw in enumerate(psfs):
+                if w == v:
+                    continue
+                term = _np_conv_same(pvm, pw)
+                k2 = k2 * np.maximum(term, 0.0)
+        elif psf_type == "optimization_ii":
+            term = _np_conv_same(pvm, p)
+            k2 = k2 * np.maximum(term, 0.0)
+        else:
+            raise ValueError(f"unknown psf_type {psf_type!r}")
+        k2 = np.maximum(k2, 0.0)
+        out.append((k2 / k2.sum()).astype(np.float32))
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "fft_shape", "img_shape"))
+def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
+                min_value, num_iterations, fft_shape, img_shape):
+    """The whole deconvolution as one XLA program."""
+
+    def conv(x, kfft):
+        return fft_convolve(x, None, kernel_fft=kfft, fft_shape=fft_shape,
+                            boundary="mirror")
+
+    def view_step(psi, inputs):
+        img, w, k1f, k2f = inputs
+        conv1 = conv(psi, k1f)
+        q = img / jnp.maximum(conv1, 1e-12)
+        # clamp quotient like AdjustInput/BayesMV (avoid explosive updates)
+        q = jnp.clip(q, 0.0, 1e4)
+        conv2 = conv(q, k2f)
+        update = 1.0 + osem * w * (conv2 - 1.0)
+        psi = psi * update
+        if lam is not None:
+            psi = psi / (1.0 + lam * psi)
+        psi = jnp.maximum(psi, min_value)
+        return psi, None
+
+    def iteration(_i, psi):
+        psi, _ = jax.lax.scan(view_step, psi,
+                              (images, weights, k1_ffts, k2_ffts))
+        return psi
+
+    return jax.lax.fori_loop(0, num_iterations, iteration, psi0)
+
+
+def deconvolve(prep, params: DeconvolutionParameters = DeconvolutionParameters()
+               ) -> np.ndarray:
+    """Run multi-view RL on prepared views (`DeconvolutionViews`).
+
+    Returns the deconvolved volume (Z, Y, X) float32.
+    """
+    images = jnp.asarray(prep.images, jnp.float32)
+    weights = jnp.asarray(prep.weights, jnp.float32)
+    V = images.shape[0]
+    img_shape = tuple(images.shape[1:])
+
+    k2s = compound_kernels(prep.psfs, params.psf_type)
+    max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
+                      max(k.shape[d] for k in k2s)) for d in range(3))
+    fft_shape = pad_shape_for(img_shape, max_k)
+
+    k1_ffts = jnp.stack([
+        prepare_kernel_fft(jnp.asarray(p, jnp.float32), fft_shape)
+        for p in prep.psfs])
+    k2_ffts = jnp.stack([
+        prepare_kernel_fft(jnp.asarray(k, jnp.float32), fft_shape)
+        for k in k2s])
+
+    wsum = weights.sum(axis=0)
+    avg = float(jnp.sum(images * weights) / jnp.maximum(jnp.sum(wsum), 1e-9))
+    if params.init == "average":
+        psi0 = jnp.sum(images * weights, axis=0)
+        psi0 = jnp.where(wsum > 1e-9, psi0 / jnp.maximum(wsum, 1e-9), avg)
+    else:
+        psi0 = jnp.full(img_shape, avg, jnp.float32)
+    psi0 = jnp.maximum(psi0, params.min_value * avg)
+
+    osem = params.osem_factor if params.osem_factor is not None \
+        else prep.osem_factor
+    lam = params.tikhonov_lambda if params.tikhonov_lambda > 0 else None
+
+    psi = _rl_iterate(
+        psi0, images, weights, k1_ffts, k2_ffts,
+        jnp.float32(osem), None if lam is None else jnp.float32(lam),
+        jnp.float32(params.min_value * avg),
+        params.num_iterations, fft_shape, img_shape)
+    return np.asarray(psi)

@@ -1,0 +1,77 @@
+"""PSF extraction from matched beads.
+
+Reference parity: `spim/process/fusion/deconvolution/ExtractPSF` (SURVEY.md
+sections 2.5/2.7, call stack 3.4): the per-view PSF is the average of
+bead-centered patches sampled THROUGH the view transform — i.e. on the
+world/bbox-aligned grid around each bead's world position — so every
+view's PSF lives in the common output orientation.
+
+TPU-native: one batched trilinear gather of (beads x patch volume) samples,
+averaged on device; no per-bead host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spim_registration_tpu.models.affine import apply_affine, invert_affine
+from spim_registration_tpu.ops.resample import trilinear_sample
+
+
+def gaussian_psf(shape=(17, 17, 17), sigma=(2.0, 1.5, 1.5),
+                 dtype=np.float32) -> np.ndarray:
+    """Synthetic anisotropic Gaussian PSF (lightsheet-like: worse in z)."""
+    grids = np.meshgrid(*[np.arange(s) - s // 2 for s in shape],
+                        indexing="ij")
+    q = sum((g / s) ** 2 for g, s in zip(grids, sigma))
+    psf = np.exp(-0.5 * q)
+    return (psf / psf.sum()).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("psf_shape",))
+def _extract_device(vol, view_to_world, points_world, valid, psf_shape):
+    world_to_view = invert_affine(view_to_world)
+    offs = jnp.stack(jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) - s // 2 for s in psf_shape],
+        indexing="ij"), axis=-1)  # (sz,sy,sx,3)
+
+    def one(pw):
+        coords = apply_affine(world_to_view, pw[None, None, None, :] + offs)
+        vals, inside = trilinear_sample(vol, coords)
+        ok = jnp.all(inside)
+        return vals, ok
+
+    patches, ok = jax.vmap(one)(points_world)
+    use = ok & valid
+    w = use.astype(jnp.float32)
+    acc = jnp.einsum("b...,b->...", patches, w)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    psf = acc / n
+    psf = jnp.maximum(psf - jnp.min(psf), 0.0)
+    return psf / jnp.maximum(jnp.sum(psf), 1e-12), jnp.sum(w)
+
+
+def extract_psf(vol: np.ndarray, view_to_world: np.ndarray,
+                points_view: np.ndarray, psf_shape=(19, 19, 19)):
+    """Extract a world-oriented PSF for one view.
+
+    Args:
+      vol: raw view image (z,y,x).
+      view_to_world: the view's (3,4) model.
+      points_view: bead positions in VIEW coordinates (the detected
+        inlier interest points of this view).
+      psf_shape: odd patch size in world voxels.
+
+    Returns (psf (psf_shape,) float32 normalized to sum 1, n_used).
+    """
+    pv = jnp.asarray(points_view, jnp.float32)
+    pw = apply_affine(jnp.asarray(view_to_world, jnp.float32), pv)
+    valid = jnp.ones(pw.shape[0], bool)
+    psf, n = _extract_device(jnp.asarray(vol, jnp.float32),
+                             jnp.asarray(view_to_world, jnp.float32),
+                             pw, valid, tuple(psf_shape))
+    return np.asarray(psf), int(n)

@@ -55,29 +55,37 @@ def mirror_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
     )
 
 
-def _conv_axis_matmul(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Convolve one axis by building the banded conv matrix and matmul-ing.
+def conv_axis_valid(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """'valid' 1D convolution along `axis` via a banded conv-matrix matmul.
 
-    For axis length n and kernel length 2r+1 the padded length is n+2r and
-    the conv matrix C has C[i, i+j] = k[j]; out = padded @ C^T along `axis`.
-    MXU-friendly (one big matmul per axis) for the volume sizes we use.
+    Input length n_in, kernel 2r+1 -> output n_in - 2r. The conv matrix C
+    (n_out, n_in), C[i, i+j] = k[j], is a static constant folded by XLA and
+    the contraction lands on the MXU — one big matmul per axis.
+
+    This is also the halo-consuming building block of the sharded path:
+    a block with h >= r halo rows convolves to its interior exactly.
     """
     r = (kernel.shape[0] - 1) // 2
-    xp = mirror_pad(x, r, axis)
-    n = x.shape[axis]
-    npad = xp.shape[axis]
-    # Build C (n, npad) as a static constant folded by XLA.
-    i = jnp.arange(n)[:, None]
-    j = jnp.arange(npad)[None, :]
+    n_in = x.shape[axis]
+    n_out = n_in - 2 * r
+    i = jnp.arange(n_out)[:, None]
+    j = jnp.arange(n_in)[None, :]
     band = j - i  # valid taps at 0..2r
     C = jnp.where(
         (band >= 0) & (band <= 2 * r),
         kernel[jnp.clip(band, 0, 2 * r)],
         0.0,
     ).astype(x.dtype)
-    xp = jnp.moveaxis(xp, axis, -1)
-    out = jnp.einsum("...p,np->...n", xp, C, preferred_element_type=x.dtype)
+    xm = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...p,np->...n", xm, C, preferred_element_type=x.dtype)
     return jnp.moveaxis(out, -1, axis)
+
+
+def _conv_axis_matmul(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """'same'-size convolution with mirror boundary (pad then valid)."""
+    r = (kernel.shape[0] - 1) // 2
+    xp = mirror_pad(x, r, axis)
+    return conv_axis_valid(xp, kernel, axis)
 
 
 @partial(jax.jit, static_argnames=("sigmas",))

@@ -1,0 +1,270 @@
+"""Sharded (multi-chip) kernels: Gaussian/DoG, FFT convolution, RL deconv.
+
+The distributed compute path (SURVEY.md sections 2.11 P4/P5, 5
+long-context row): volumes are z-sharded over the mesh; every convolution
+step exchanges PSF-support halos with mesh neighbors over ICI
+(`halo_exchange_z`) and computes shard-locally — the reference's
+overlapping CUDA blocks, but with live on-device exchange instead of
+host-mediated copies. psi in Richardson-Lucy never leaves its shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.7 new-style
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+from spim_registration_tpu.ops.gaussian import (
+    conv_axis_valid,
+    gaussian_kernel_1d,
+    mirror_pad,
+)
+from spim_registration_tpu.parallel.halo import halo_exchange_z
+
+
+# ---------------------------------------------------------------- gaussian
+
+def _local_gaussian(x, kernels, h, axis_name):
+    """Blur a local z-shard given per-axis kernels; z needs halo h."""
+    xp = halo_exchange_z(x, h, axis_name)
+    kz, ky, kx = kernels
+    rz = (kz.shape[0] - 1) // 2
+    if h > rz:  # trim excess halo so valid conv lands exactly on interior
+        xp = xp[h - rz: xp.shape[0] - (h - rz)]
+    out = conv_axis_valid(xp, kz, 0)
+    out = conv_axis_valid(mirror_pad(out, (ky.shape[0] - 1) // 2, 1), ky, 1)
+    out = conv_axis_valid(mirror_pad(out, (kx.shape[0] - 1) // 2, 2), kx, 2)
+    return out
+
+
+@partial(jax.jit, static_argnames=("sigmas", "mesh_holder", "axis_name"))
+def _sharded_gaussian_jit(vol, sigmas, mesh_holder, axis_name):
+    mesh = mesh_holder.mesh
+    ks = tuple(jnp.asarray(gaussian_kernel_1d(float(s)), vol.dtype)
+               for s in sigmas)
+    h = (ks[0].shape[0] - 1) // 2
+
+    def f(x):
+        return _local_gaussian(x, ks, h, axis_name)
+
+    return shard_map(f, mesh, in_specs=P(axis_name), out_specs=P(axis_name))(vol)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can be a static jit argument."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((self.mesh.axis_names, self.mesh.devices.tobytes()))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshHolder)
+                and self.mesh.axis_names == other.mesh.axis_names
+                and self.mesh.devices.tolist() == other.mesh.devices.tolist())
+
+
+def sharded_gaussian_blur(vol, sigmas, mesh: Mesh, axis_name: str = "z"):
+    """Separable Gaussian blur of a z-sharded volume."""
+    vol = jax.device_put(
+        vol, NamedSharding(mesh, P(axis_name)))
+    return _sharded_gaussian_jit(vol, tuple(float(s) for s in sigmas),
+                                 _MeshHolder(mesh), axis_name)
+
+
+def sharded_dog(vol, sigma1, sigma2, mesh: Mesh, axis_name: str = "z"):
+    """Difference-of-Gaussian on a z-sharded volume (detection hot path)."""
+    g1 = sharded_gaussian_blur(vol, (sigma1,) * 3, mesh, axis_name)
+    g2 = sharded_gaussian_blur(vol, (sigma2,) * 3, mesh, axis_name)
+    return g1 - g2
+
+
+# ---------------------------------------------------------------- fft conv
+
+def _fft_len(n: int) -> int:
+    m = max(n, 1)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+
+
+def _local_fft_conv(xp, kfft, zl, h, fshape):
+    """Convolve an exchanged block (zl+2h, Y, X); crop to the interior.
+
+    Overlap-save: circular wrap artifacts stay within the halo as long as
+    the kernel z-half-support <= h, so the cropped interior is exact.
+    """
+    pads = [(0, fshape[0] - xp.shape[0]),
+            (0, fshape[1] - xp.shape[1]),
+            (0, fshape[2] - xp.shape[2])]
+    xpad = jnp.pad(xp, pads)
+    out = jnp.fft.irfftn(jnp.fft.rfftn(xpad) * kfft, s=fshape)
+    return out[h:h + zl, :xp.shape[1], :xp.shape[2]].astype(xp.dtype)
+
+
+def _prepare_local_kernel_fft(kernel, fshape):
+    pads = [(0, f - k) for f, k in zip(fshape, kernel.shape)]
+    kp = jnp.pad(kernel, pads)
+    kp = jnp.roll(kp, [-(k // 2) for k in kernel.shape], axis=(0, 1, 2))
+    return jnp.fft.rfftn(kp)
+
+
+def sharded_fft_convolve(vol, kernel, mesh: Mesh, axis_name: str = "z"):
+    """FFT-convolve a z-sharded volume with a (replicated) small kernel.
+
+    Per-shard overlap-save with halo exchange; mirror boundary on the
+    global y/x edges via local padding, z edges via halo mirror fix.
+    """
+    nz = mesh.shape[axis_name]
+    Z, Y, X = vol.shape
+    if Z % nz:
+        raise ValueError(f"z={Z} not divisible by mesh axis {nz}")
+    zl = Z // nz
+    kz, ky, kx = kernel.shape
+    h = kz // 2
+    if h > zl:
+        raise ValueError("kernel z support exceeds local shard size")
+    ry, rx = ky // 2, kx // 2
+    fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
+
+    kernel = jnp.asarray(kernel, jnp.float32)
+
+    @partial(jax.jit, static_argnames=())
+    def run(v, k):
+        def f(x, kk):
+            xp = halo_exchange_z(x, h, axis_name)
+            xp = mirror_pad(mirror_pad(xp, ry, 1), rx, 2)
+            kfft = _prepare_local_kernel_fft(kk, fshape)
+            out = _local_fft_conv(xp, kfft, zl, h, fshape)
+            return out[:, ry:ry + Y, rx:rx + X]
+
+        return shard_map(f, mesh,
+                         in_specs=(P(axis_name), P()),
+                         out_specs=P(axis_name))(v, k)
+
+    vol = jax.device_put(vol, NamedSharding(mesh, P(axis_name)))
+    return run(vol, kernel)
+
+
+# ---------------------------------------------------------------- deconv
+
+def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z"):
+    """Multi-view RL with psi + views z-sharded over the mesh.
+
+    Same math as `deconv.lucy_richardson.deconvolve` but every convolution
+    is per-shard overlap-save with live halo exchange; psi stays sharded
+    for the entire run (SURVEY.md section 5: the 70% scaling-efficiency
+    target lives here).
+    """
+    from spim_registration_tpu.deconv.lucy_richardson import compound_kernels
+
+    images = np.asarray(prep.images, np.float32)
+    weights = np.asarray(prep.weights, np.float32)
+    V, Z, Y, X = images.shape
+    nz = mesh.shape[axis_name]
+    if Z % nz:
+        raise ValueError(f"z={Z} not divisible by mesh axis size {nz}")
+    zl = Z // nz
+
+    k2s = compound_kernels(prep.psfs, params.psf_type)
+    # pad all kernels to one common shape so they stack
+    kshape = tuple(max(max(p.shape[d] for p in prep.psfs),
+                       max(k.shape[d] for k in k2s)) for d in range(3))
+    kshape = tuple(min(k if k % 2 else k + 1, 2 * zl - 1) for k in kshape)
+
+    def _fit(k):
+        out = np.zeros(kshape, np.float32)
+        sl_src, sl_dst = [], []
+        for d in range(3):
+            if k.shape[d] <= kshape[d]:
+                off = (kshape[d] - k.shape[d]) // 2
+                sl_src.append(slice(0, k.shape[d]))
+                sl_dst.append(slice(off, off + k.shape[d]))
+            else:
+                off = (k.shape[d] - kshape[d]) // 2
+                sl_src.append(slice(off, off + kshape[d]))
+                sl_dst.append(slice(0, kshape[d]))
+        out[tuple(sl_dst)] = k[tuple(sl_src)]
+        return out / max(out.sum(), 1e-12)
+
+    k1 = jnp.asarray(np.stack([_fit(np.asarray(p)) for p in prep.psfs]))
+    k2 = jnp.asarray(np.stack([_fit(k) for k in k2s]))
+
+    h = kshape[0] // 2
+    ry, rx = kshape[1] // 2, kshape[2] // 2
+    fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
+
+    osem = jnp.float32(params.osem_factor if params.osem_factor is not None
+                       else prep.osem_factor)
+    lam = jnp.float32(params.tikhonov_lambda)
+    use_lam = params.tikhonov_lambda > 0
+    wsum = weights.sum(axis=0)
+    avg = float((images * weights).sum() / max(wsum.sum(), 1e-9))
+    psi0 = np.where(wsum > 1e-9, (images * weights).sum(axis=0)
+                    / np.maximum(wsum, 1e-9), avg).astype(np.float32)
+    psi0 = np.maximum(psi0, params.min_value * avg)
+    minv = jnp.float32(params.min_value * avg)
+
+    n_iter = params.num_iterations
+
+    def local_conv(x, kfft):
+        xp = halo_exchange_z(x, h, axis_name)
+        xp = mirror_pad(mirror_pad(xp, ry, 1), rx, 2)
+        return _local_fft_conv(xp, kfft, x.shape[0], h, fshape)[
+            :, ry:ry + Y, rx:rx + X]
+
+    def f(psi, imgs, ws, k1_, k2_):
+        k1f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k1_)
+        k2f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k2_)
+
+        def view_step(p, inp):
+            img, w, a, b = inp
+            conv1 = local_conv(p, a)
+            q = jnp.clip(img / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+            conv2 = local_conv(q, b)
+            p = p * (1.0 + osem * w * (conv2 - 1.0))
+            if use_lam:
+                p = p / (1.0 + lam * p)
+            return jnp.maximum(p, minv), None
+
+        def iteration(_i, p):
+            p, _ = jax.lax.scan(view_step, p, (imgs, ws, k1f, k2f))
+            return p
+
+        return jax.lax.fori_loop(0, n_iter, iteration, psi)
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    sharded_v = NamedSharding(mesh, P(None, axis_name))
+    psi = jax.device_put(jnp.asarray(psi0), sharded)
+    imgs = jax.device_put(jnp.asarray(images), sharded_v)
+    ws = jax.device_put(jnp.asarray(weights), sharded_v)
+
+    run = jax.jit(shard_map(
+        f, mesh,
+        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name),
+                  P(), P()),
+        out_specs=P(axis_name)))
+    return np.asarray(run(psi, imgs, ws, k1, k2))

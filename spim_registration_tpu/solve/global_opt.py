@@ -1,0 +1,264 @@
+"""Global alignment of all views as a pose-graph least-squares problem.
+
+Reference parity: `spim/process/interestpointregistration/GlobalOpt` with
+mpicbg `Tile` / `TileConfiguration` (SURVEY.md section 2.4): one tile per
+view-group, point matches from all pairwise RANSAC inliers, fixed
+reference tile(s), then optimization; prints average/max residual.
+
+TPU-native redesign (SURVEY.md section 7 step 6): instead of mpicbg's
+damped per-tile iteration, we solve the normal equations directly —
+* affine / translation corrections are LINEAR in the parameters, so one
+  (regularized) Cholesky solve of the stacked system is exact;
+* rigid corrections use Gauss-Newton on se(3) increments with exact
+  SO(3) retraction, converging quadratically in a handful of iterations.
+
+Corrections B_g are solved per *tile* (= view group) and applied on top of
+each view's current transform: A_v <- B_{g(v)} o A_v. All correspondence
+points must be passed ALREADY MAPPED through their view's current
+transform (the caller concatenates with calibration exactly like the
+reference pre-concatenates).
+
+The normal-equation assembly is one big einsum/scatter-add over the padded
+correspondence arrays — this is the part that `psum`-reduces across a
+device mesh in the distributed path (SURVEY.md section 2.11, distributed
+backend row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PairMatches:
+    """Inlier correspondences between two views (already in world coords)."""
+
+    view_i: int
+    view_j: int
+    p: np.ndarray  # (N,3) points of view_i mapped by its current transform
+    q: np.ndarray  # (N,3) matching points of view_j, likewise
+    w: Optional[np.ndarray] = None  # (N,) weights
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalOptParameters:
+    model: str = "affine"            # translation | rigid | affine
+    max_iterations: int = 20         # GN iterations (rigid); 1 for linear
+    damping: float = 1e-6            # Tikhonov on the normal matrix
+    convergence_tol: float = 1e-6    # stop when mean residual improves less
+
+
+@dataclasses.dataclass
+class GlobalOptResult:
+    corrections: Dict[int, np.ndarray]  # tile -> (3,4) correction affine
+    mean_error: float
+    max_error: float
+    per_pair_error: Dict[tuple, float]
+    iterations: int
+
+
+def _stack_matches(matches: Sequence[PairMatches], tile_of: Dict[int, int]):
+    ps, qs, ws, ti, tj, pair_id = [], [], [], [], [], []
+    for k, m in enumerate(matches):
+        n = len(m.p)
+        if n == 0:
+            continue
+        ps.append(np.asarray(m.p, np.float64))
+        qs.append(np.asarray(m.q, np.float64))
+        ws.append(np.ones(n) if m.w is None else np.asarray(m.w, np.float64))
+        ti.append(np.full(n, tile_of[m.view_i], np.int32))
+        tj.append(np.full(n, tile_of[m.view_j], np.int32))
+        pair_id.append(np.full(n, k, np.int32))
+    if not ps:
+        raise ValueError("no correspondences given to solve_global")
+    return (np.concatenate(ps), np.concatenate(qs), np.concatenate(ws),
+            np.concatenate(ti), np.concatenate(tj), np.concatenate(pair_id))
+
+
+def _linear_design(model: str, pts: np.ndarray):
+    """Design matrix rows X (N,3,P) such that residual contribution of a
+    point p under parameter vector theta is X(p) @ theta (+ p itself for
+    the identity part, handled via initial residual)."""
+    n = pts.shape[0]
+    if model == "translation":
+        X = np.zeros((n, 3, 3))
+        X[:, 0, 0] = X[:, 1, 1] = X[:, 2, 2] = 1.0
+        return X
+    if model == "affine":
+        # theta = vec(dM (row-major 9), dt (3)); correction B = I + dM, t = dt
+        X = np.zeros((n, 3, 12))
+        for r in range(3):
+            X[:, r, 3 * r:3 * r + 3] = pts
+            X[:, r, 9 + r] = 1.0
+        return X
+    if model == "rigid":
+        # theta = (omega (3), u (3)); linearized correction p + omega x p + u
+        X = np.zeros((n, 3, 6))
+        z, y, x = pts[:, 0], pts[:, 1], pts[:, 2]
+        # d(omega x p)/d(omega) with (z, y, x) as the 3-vector components:
+        # omega x p = (w2*x - w3*y, w3*z - w1*x, w1*y - w2*z)
+        X[:, 0, 1] = x
+        X[:, 0, 2] = -y
+        X[:, 1, 0] = -x
+        X[:, 1, 2] = z
+        X[:, 2, 0] = y
+        X[:, 2, 1] = -z
+        X[:, 0, 3] = X[:, 1, 4] = X[:, 2, 5] = 1.0
+        return X
+    raise ValueError(f"unsupported global model {model!r}")
+
+
+def _param_count(model: str) -> int:
+    return {"translation": 3, "affine": 12, "rigid": 6}[model]
+
+
+def _theta_to_affine(model: str, theta: np.ndarray) -> np.ndarray:
+    if model == "translation":
+        return np.concatenate([np.eye(3), theta.reshape(3, 1)], axis=1)
+    if model == "affine":
+        M = np.eye(3) + theta[:9].reshape(3, 3)
+        return np.concatenate([M, theta[9:].reshape(3, 1)], axis=1)
+    if model == "rigid":
+        om, u = theta[:3], theta[3:]
+        th = np.linalg.norm(om)
+        if th < 1e-12:
+            R = np.eye(3)
+        else:
+            k = om / th
+            K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                          [-k[1], k[0], 0]])
+            R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        return np.concatenate([R, u.reshape(3, 1)], axis=1)
+    raise ValueError(model)
+
+
+def _apply(A: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ A[:, :3].T + A[:, 3]
+
+
+def solve_global(
+    matches: Sequence[PairMatches],
+    fixed_views: Sequence[int],
+    params: GlobalOptParameters = GlobalOptParameters(),
+    groups: Optional[Sequence[Sequence[int]]] = None,
+) -> GlobalOptResult:
+    """Solve for per-tile corrections minimizing sum ||B_i p - B_j q||^2.
+
+    Args:
+      matches: pairwise inlier correspondences in current world coords.
+      fixed_views: views whose tiles stay identity (gauge; the reference's
+        fixed reference tile(s)).
+      groups: optional list of view-id groups that share one tile (the
+        reference's GlobalOptimizationSubset grouping). Ungrouped views get
+        their own tile.
+    """
+    views = sorted({m.view_i for m in matches} | {m.view_j for m in matches}
+                   | set(fixed_views))
+    tile_of: Dict[int, int] = {}
+    if groups:
+        for g, members in enumerate(groups):
+            for v in members:
+                tile_of[v] = g
+        next_tile = len(groups)
+    else:
+        next_tile = 0
+    for v in views:
+        if v not in tile_of:
+            tile_of[v] = next_tile
+            next_tile += 1
+    T = next_tile
+    P = _param_count(params.model)
+
+    fixed_tiles = sorted({tile_of[v] for v in fixed_views})
+    free_tiles = [t for t in range(T) if t not in set(fixed_tiles)]
+    if not free_tiles:
+        raise ValueError("all tiles are fixed")
+    col_of = {t: i for i, t in enumerate(free_tiles)}
+
+    p0, q0, w, ti, tj, pair_id = _stack_matches(matches, tile_of)
+    B = [np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+         for _ in range(T)]
+
+    n_iter = 1 if params.model in ("translation", "affine") else params.max_iterations
+    prev_err = np.inf
+    it_done = 0
+    for it in range(n_iter):
+        # current transformed points
+        Bi = np.stack([B[t] for t in ti])
+        Bj = np.stack([B[t] for t in tj])
+        pc = np.einsum("nrc,nc->nr", Bi[:, :, :3], p0) + Bi[:, :, 3]
+        qc = np.einsum("nrc,nc->nr", Bj[:, :, :3], q0) + Bj[:, :, 3]
+        r0 = pc - qc  # residual at theta = 0
+
+        Xi = _linear_design(params.model, pc)
+        Xj = _linear_design(params.model, qc)
+
+        dim = len(free_tiles) * P
+        H = np.zeros((dim, dim))
+        g = np.zeros(dim)
+
+        # accumulate normal equations blockwise
+        XtXi = np.einsum("nrp,nrq,n->npq", Xi, Xi, w)
+        XtXj = np.einsum("nrp,nrq,n->npq", Xj, Xj, w)
+        XtXij = np.einsum("nrp,nrq,n->npq", Xi, Xj, w)
+        gi = np.einsum("nrp,nr,n->np", Xi, r0, w)
+        gj = np.einsum("nrp,nr,n->np", Xj, r0, w)
+
+        for n in range(len(p0)):
+            a, b = ti[n], tj[n]
+            fa, fb = a in col_of, b in col_of
+            if fa:
+                ca = col_of[a] * P
+                H[ca:ca + P, ca:ca + P] += XtXi[n]
+                g[ca:ca + P] += gi[n]
+            if fb:
+                cb = col_of[b] * P
+                H[cb:cb + P, cb:cb + P] += XtXj[n]
+                g[cb:cb + P] -= gj[n]
+            if fa and fb:
+                H[ca:ca + P, cb:cb + P] -= XtXij[n]
+                H[cb:cb + P, ca:ca + P] -= XtXij[n].T
+        H += params.damping * np.eye(dim)
+        theta = np.linalg.solve(H, -g)
+
+        # retraction: B_t <- delta(theta_t) o B_t
+        for t in free_tiles:
+            th = theta[col_of[t] * P:(col_of[t] + 1) * P]
+            D = _theta_to_affine(params.model, th)
+            B4 = np.vstack([B[t], [0, 0, 0, 1]])
+            D4 = np.vstack([D, [0, 0, 0, 1]])
+            B[t] = (D4 @ B4)[:3]
+
+        # convergence check on residuals
+        Bi = np.stack([B[t] for t in ti])
+        Bj = np.stack([B[t] for t in tj])
+        pc = np.einsum("nrc,nc->nr", Bi[:, :, :3], p0) + Bi[:, :, 3]
+        qc = np.einsum("nrc,nc->nr", Bj[:, :, :3], q0) + Bj[:, :, 3]
+        errs = np.linalg.norm(pc - qc, axis=1)
+        mean_err = float(np.average(errs, weights=w))
+        it_done = it + 1
+        if abs(prev_err - mean_err) < params.convergence_tol:
+            break
+        prev_err = mean_err
+
+    per_pair: Dict[tuple, float] = {}
+    for k, m in enumerate(matches):
+        sel = pair_id == k
+        if np.any(sel):
+            per_pair[(m.view_i, m.view_j)] = float(np.mean(errs[sel]))
+
+    corrections = {}
+    for v in views:
+        corrections[v] = B[tile_of[v]]
+    return GlobalOptResult(
+        corrections=corrections,
+        mean_error=mean_err,
+        max_error=float(np.max(errs)),
+        per_pair_error=per_pair,
+        iterations=it_done,
+    )

@@ -1,44 +1,17 @@
-"""Synthetic multi-view bead data generation for tests and benchmarks.
-
-The analog of the reference lab's `multiview-simulation` fixtures
-(SURVEY.md section 4): a ground-truth bead cloud rendered into each view
-through a known affine, with Gaussian PSF blur and noise. Recovering the
-known transforms to sub-pixel accuracy is the core property test.
-"""
+"""Synthetic scene helpers for tests (thin wrapper over the package's
+simulation module, plus the legacy two-view fixture)."""
 
 from __future__ import annotations
 
 import numpy as np
 
-
-def random_rotation(rng, max_angle_deg=15.0):
-    """Small random 3D rotation matrix."""
-    axis = rng.normal(size=3)
-    axis /= np.linalg.norm(axis)
-    angle = np.deg2rad(rng.uniform(-max_angle_deg, max_angle_deg))
-    K = np.array([[0, -axis[2], axis[1]],
-                  [axis[2], 0, -axis[0]],
-                  [-axis[1], axis[0], 0]])
-    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
-
-
-def render_beads(points, shape, sigma=1.7, amplitude=1.0):
-    """Render gaussian beads at float (z,y,x) positions into a volume."""
-    vol = np.zeros(shape, np.float32)
-    r = int(np.ceil(3 * sigma))
-    for c in points:
-        ci = np.round(c).astype(int)
-        lo = np.maximum(ci - r, 0)
-        hi = np.minimum(ci + r + 1, shape)
-        if np.any(lo >= hi):
-            continue
-        zz, yy, xx = np.meshgrid(*[np.arange(l, h) for l, h in zip(lo, hi)],
-                                 indexing="ij")
-        vol[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] += amplitude * np.exp(
-            -(((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
-              / (2 * sigma ** 2))
-        )
-    return vol
+from spim_registration_tpu.utils.simulation import (  # noqa: F401
+    MultiViewScene,
+    make_multiview_scene,
+    random_rotation,
+    render_beads,
+    rotation_about_axis,
+)
 
 
 def make_two_view_scene(rng, shape=(96, 96, 96), n_beads=80,

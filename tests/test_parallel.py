@@ -1,0 +1,100 @@
+"""Sharded-kernel tests on the virtual 8-device CPU mesh.
+
+These validate exactness at shard seams: the sharded result must equal the
+single-device result to float tolerance (the reference never had such
+tests; SURVEY.md section 4 implication (4)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spim_registration_tpu.core.dataset import BoundingBox
+from spim_registration_tpu.deconv import (
+    DeconvolutionParameters,
+    deconvolve,
+    gaussian_psf,
+    prepare_views_for_deconvolution,
+)
+from spim_registration_tpu.ops.fftconv import direct_convolve_np, fft_convolve
+from spim_registration_tpu.ops.gaussian import gaussian_blur_3d
+from spim_registration_tpu.parallel import (
+    halo_exchange_z,
+    make_mesh,
+    sharded_deconvolve,
+    sharded_dog,
+    sharded_fft_convolve,
+    sharded_gaussian_blur,
+)
+from spim_registration_tpu.utils.simulation import render_beads
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "tests need the 8-device CPU mesh"
+    return make_mesh(("z",), (8,))
+
+
+def test_halo_exchange_roundtrip(mesh):
+    """Each shard's extended block must equal the mirror-padded global
+    volume's corresponding window."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spim_registration_tpu.parallel.sharded import shard_map
+
+    vol = np.arange(32 * 4 * 4, dtype=np.float32).reshape(32, 4, 4)
+    h = 2
+
+    def f(x):
+        return halo_exchange_z(x, h)
+
+    out = jax.jit(shard_map(f, mesh, in_specs=P("z"),
+                            out_specs=P("z")))(
+        jax.device_put(jnp.asarray(vol), NamedSharding(mesh, P("z"))))
+    out = np.asarray(out)  # (32 + 8*2*2... ) -> concatenated (8*(4+2h))
+    out = out.reshape(8, 4 + 2 * h, 4, 4)
+    ref = np.pad(vol, ((h, h), (0, 0), (0, 0)), mode="reflect")
+    for s in range(8):
+        np.testing.assert_array_equal(out[s], ref[s * 4:s * 4 + 4 + 2 * h])
+
+
+def test_sharded_gaussian_matches_single(mesh, rng):
+    vol = rng.normal(size=(64, 24, 24)).astype(np.float32)
+    ref = np.asarray(gaussian_blur_3d(jnp.asarray(vol), (1.5, 1.5, 1.5)))
+    out = np.asarray(sharded_gaussian_blur(vol, (1.5, 1.5, 1.5), mesh))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_dog_matches_single(mesh, rng):
+    vol = rng.normal(size=(64, 24, 24)).astype(np.float32)
+    from spim_registration_tpu.ops.gaussian import difference_of_gaussian
+    ref = np.asarray(difference_of_gaussian(jnp.asarray(vol), 1.8, 2.2))
+    out = np.asarray(sharded_dog(vol, 1.8, 2.2, mesh))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_fft_conv_matches_direct(mesh, rng):
+    vol = rng.uniform(size=(64, 20, 20)).astype(np.float32)
+    kernel = gaussian_psf((7, 7, 7), (1.5, 1.5, 1.5))
+    ref = direct_convolve_np(vol, kernel)
+    out = np.asarray(sharded_fft_convolve(vol, kernel, mesh))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_sharded_deconvolve_matches_single(mesh, rng):
+    pts = rng.uniform(8, 56, size=(20, 3))
+    truth = render_beads(pts, (64, 32, 32), sigma=1.0)
+    psf_a = gaussian_psf((9, 9, 9), (2.5, 1.0, 1.0))
+    psf_b = gaussian_psf((9, 9, 9), (1.0, 1.0, 2.5))
+    va = direct_convolve_np(truth, psf_a).astype(np.float32)
+    vb = direct_convolve_np(truth, psf_b).astype(np.float32)
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    bbox = BoundingBox("b", (0, 0, 0), (64, 32, 32))
+    prep = prepare_views_for_deconvolution([va, vb], [ident, ident],
+                                           [psf_a, psf_b], bbox)
+    params = DeconvolutionParameters(num_iterations=6)
+    ref = deconvolve(prep, params)
+    out = sharded_deconvolve(prep, params, mesh)
+    # psi after 6 iterations must agree to float tolerance at every voxel,
+    # including the 7 shard seams
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)

@@ -1,0 +1,123 @@
+"""Global optimization tests: recovery of known view transforms."""
+
+import numpy as np
+import pytest
+
+from spim_registration_tpu.solve import (
+    GlobalOptParameters,
+    PairMatches,
+    all_to_all_pairs,
+    all_to_all_pairs_with_range,
+    individual_timepoint_pairs,
+    reference_timepoint_pairs,
+    solve_global,
+)
+
+from synth import random_rotation
+
+
+def _make_views(rng, n_views, model="rigid", max_angle=6.0):
+    """True per-view perturbations (view 0 = identity)."""
+    truth = [np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)]
+    for _ in range(n_views - 1):
+        if model == "rigid":
+            R = random_rotation(rng, max_angle)
+        else:
+            R = np.eye(3) + 0.05 * rng.normal(size=(3, 3))
+        t = rng.uniform(-5, 5, 3)
+        truth.append(np.concatenate([R, t[:, None]], axis=1))
+    return truth
+
+
+def _correspondences(rng, truth, n_pts=60, noise=0.05):
+    """World points seen by all views; pair matches are points mapped by the
+    INVERSE of each view's true correction (i.e. the misaligned state)."""
+    world = rng.uniform(0, 150, size=(n_pts, 3))
+    # current (wrong) position of view v's points: B_v^-1 world
+    cur = []
+    for A in truth:
+        A4 = np.vstack([A, [0, 0, 0, 1]])
+        inv = np.linalg.inv(A4)[:3]
+        cur.append(world @ inv[:, :3].T + inv[:, 3])
+    matches = []
+    V = len(truth)
+    for i in range(V):
+        for j in range(i + 1, V):
+            matches.append(PairMatches(
+                view_i=i, view_j=j,
+                p=cur[i] + rng.normal(0, noise, (n_pts, 3)),
+                q=cur[j] + rng.normal(0, noise, (n_pts, 3)),
+            ))
+    return matches, truth
+
+
+@pytest.mark.parametrize("model", ["translation", "rigid", "affine"])
+def test_solve_recovers_views(rng, model):
+    truth = _make_views(rng, 5, model="rigid" if model != "affine" else "affine")
+    if model == "translation":
+        truth = [np.concatenate([np.eye(3), t[:, 3:]], axis=1) for t in truth]
+    matches, truth = _correspondences(rng, truth, noise=0.02)
+    res = solve_global(matches, fixed_views=[0],
+                       params=GlobalOptParameters(model=model))
+    assert res.mean_error < 0.1, res.mean_error
+    # corrections must match truth (up to the fixed gauge = identity)
+    for v, A in enumerate(truth):
+        np.testing.assert_allclose(res.corrections[v], A, atol=0.05)
+
+
+def test_solve_groups(rng):
+    """Views grouped into one tile move together."""
+    truth = _make_views(rng, 4, "rigid")
+    # make views 2,3 share the same true correction
+    truth[3] = truth[2]
+    matches, _ = _correspondences(rng, truth, noise=0.02)
+    res = solve_global(matches, fixed_views=[0],
+                       params=GlobalOptParameters(model="rigid"),
+                       groups=[[2, 3]])
+    np.testing.assert_allclose(res.corrections[2], res.corrections[3])
+    np.testing.assert_allclose(res.corrections[2], truth[2], atol=0.05)
+    assert res.mean_error < 0.1
+
+
+def test_solve_reports_per_pair_errors(rng):
+    truth = _make_views(rng, 3, "rigid")
+    matches, _ = _correspondences(rng, truth)
+    res = solve_global(matches, fixed_views=[0],
+                       params=GlobalOptParameters(model="rigid"))
+    assert set(res.per_pair_error) == {(0, 1), (0, 2), (1, 2)}
+    assert res.max_error >= res.mean_error
+
+
+def test_optimization_types():
+    vids = [(tp, s) for tp in range(3) for s in range(2)]
+    per_tp = individual_timepoint_pairs(vids)
+    assert len(per_tp) == 3
+    pairs, fixed, groups = per_tp[0]
+    assert pairs == [((0, 0), (0, 1))]
+    assert fixed == [(0, 0)]
+
+    pairs, fixed, groups = all_to_all_pairs(vids)
+    assert len(pairs) == 15
+    pairs, fixed, groups = all_to_all_pairs(vids, group_timepoints=True)
+    assert len(groups) == 3
+
+    pairs, _, _ = all_to_all_pairs_with_range(vids, 1)
+    assert all(abs(a[0] - b[0]) <= 1 for a, b in pairs)
+
+    pairs, fixed, _ = reference_timepoint_pairs(vids, 1)
+    assert fixed == [(1, 0), (1, 1)]
+    assert all(b[0] == 1 for _a, b in pairs)
+    assert all(a[0] != 1 for a, _b in pairs)
+
+
+def test_solve_disconnected_graph_regularized(rng):
+    """A view with no path to a fixed view stays ~identity (damping)."""
+    truth = _make_views(rng, 2, "rigid")
+    matches, _ = _correspondences(rng, truth)
+    # add an isolated pair between views 5 and 6
+    iso = PairMatches(view_i=5, view_j=6,
+                      p=rng.uniform(0, 100, (20, 3)),
+                      q=rng.uniform(0, 100, (20, 3)))
+    res = solve_global(matches + [iso], fixed_views=[0],
+                       params=GlobalOptParameters(model="translation"))
+    assert np.all(np.isfinite(res.corrections[5]))
