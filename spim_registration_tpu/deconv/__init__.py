@@ -2,6 +2,7 @@
 
 from spim_registration_tpu.deconv.lucy_richardson import (  # noqa: F401
     DeconvolutionParameters,
+    DeconvolutionRunner,
     PSFType,
     deconvolve,
 )

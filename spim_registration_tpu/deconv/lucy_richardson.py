@@ -147,45 +147,66 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
     return jax.lax.fori_loop(0, num_iterations, iteration, psi0)
 
 
+class DeconvolutionRunner:
+    """Stages all inputs on device ONCE; `.run()` executes RL iterations.
+
+    Separating staging from iteration keeps host<->device transfers out of
+    the hot path (the reference pays a JNA copy per block per conv; we pay
+    one upload per dataset).
+    """
+
+    def __init__(self, prep,
+                 params: DeconvolutionParameters = DeconvolutionParameters()):
+        self.params = params
+        self.images = jnp.asarray(prep.images, jnp.float32)
+        self.weights = jnp.asarray(prep.weights, jnp.float32)
+        self.img_shape = tuple(self.images.shape[1:])
+
+        k2s = compound_kernels(prep.psfs, params.psf_type)
+        max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
+                          max(k.shape[d] for k in k2s)) for d in range(3))
+        self.fft_shape = pad_shape_for(self.img_shape, max_k)
+
+        self.k1_ffts = jnp.stack([
+            prepare_kernel_fft(jnp.asarray(p, jnp.float32), self.fft_shape)
+            for p in prep.psfs])
+        self.k2_ffts = jnp.stack([
+            prepare_kernel_fft(jnp.asarray(k, jnp.float32), self.fft_shape)
+            for k in k2s])
+
+        wsum = self.weights.sum(axis=0)
+        avg = float(jnp.sum(self.images * self.weights)
+                    / jnp.maximum(jnp.sum(wsum), 1e-9))
+        if params.init == "average":
+            psi0 = jnp.sum(self.images * self.weights, axis=0)
+            psi0 = jnp.where(wsum > 1e-9, psi0 / jnp.maximum(wsum, 1e-9),
+                             avg)
+        else:
+            psi0 = jnp.full(self.img_shape, avg, jnp.float32)
+        self.psi0 = jnp.maximum(psi0, params.min_value * avg)
+        self.avg = avg
+        self.osem = params.osem_factor if params.osem_factor is not None \
+            else prep.osem_factor
+        self.lam = (params.tikhonov_lambda
+                    if params.tikhonov_lambda > 0 else None)
+
+    def run(self, num_iterations: Optional[int] = None, psi0=None):
+        """Execute RL iterations on device; returns the device array."""
+        n = (num_iterations if num_iterations is not None
+             else self.params.num_iterations)
+        psi = self.psi0 if psi0 is None else psi0
+        return _rl_iterate(
+            psi, self.images, self.weights, self.k1_ffts, self.k2_ffts,
+            jnp.float32(self.osem),
+            None if self.lam is None else jnp.float32(self.lam),
+            jnp.float32(self.params.min_value * self.avg),
+            n, self.fft_shape, self.img_shape)
+
+
 def deconvolve(prep, params: DeconvolutionParameters = DeconvolutionParameters()
                ) -> np.ndarray:
     """Run multi-view RL on prepared views (`DeconvolutionViews`).
 
     Returns the deconvolved volume (Z, Y, X) float32.
     """
-    images = jnp.asarray(prep.images, jnp.float32)
-    weights = jnp.asarray(prep.weights, jnp.float32)
-    V = images.shape[0]
-    img_shape = tuple(images.shape[1:])
-
-    k2s = compound_kernels(prep.psfs, params.psf_type)
-    max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
-                      max(k.shape[d] for k in k2s)) for d in range(3))
-    fft_shape = pad_shape_for(img_shape, max_k)
-
-    k1_ffts = jnp.stack([
-        prepare_kernel_fft(jnp.asarray(p, jnp.float32), fft_shape)
-        for p in prep.psfs])
-    k2_ffts = jnp.stack([
-        prepare_kernel_fft(jnp.asarray(k, jnp.float32), fft_shape)
-        for k in k2s])
-
-    wsum = weights.sum(axis=0)
-    avg = float(jnp.sum(images * weights) / jnp.maximum(jnp.sum(wsum), 1e-9))
-    if params.init == "average":
-        psi0 = jnp.sum(images * weights, axis=0)
-        psi0 = jnp.where(wsum > 1e-9, psi0 / jnp.maximum(wsum, 1e-9), avg)
-    else:
-        psi0 = jnp.full(img_shape, avg, jnp.float32)
-    psi0 = jnp.maximum(psi0, params.min_value * avg)
-
-    osem = params.osem_factor if params.osem_factor is not None \
-        else prep.osem_factor
-    lam = params.tikhonov_lambda if params.tikhonov_lambda > 0 else None
-
-    psi = _rl_iterate(
-        psi0, images, weights, k1_ffts, k2_ffts,
-        jnp.float32(osem), None if lam is None else jnp.float32(lam),
-        jnp.float32(params.min_value * avg),
-        params.num_iterations, fft_shape, img_shape)
-    return np.asarray(psi)
+    return np.asarray(DeconvolutionRunner(prep, params).run())
