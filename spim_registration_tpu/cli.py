@@ -1,0 +1,277 @@
+"""Command-line interface — the headless execution surface.
+
+Reference parity: the macro-recordable plugin surface + `spim.headless.*`
+(SURVEY.md sections 2.2, 2.10, L5): every pipeline stage as a subcommand
+operating on a dataset XML, re-loading and re-saving it around each stage
+(the checkpoint philosophy).
+
+    python -m spim_registration_tpu.cli simulate --out ds/ --views 4
+    python -m spim_registration_tpu.cli detect   ds/dataset.xml
+    python -m spim_registration_tpu.cli register ds/dataset.xml
+    python -m spim_registration_tpu.cli fuse     ds/dataset.xml --out fused.tif
+    python -m spim_registration_tpu.cli deconvolve ds/dataset.xml --out psi.tif
+    python -m spim_registration_tpu.cli resave   ds/dataset.xml --h5 data.h5
+    python -m spim_registration_tpu.cli info     ds/dataset.xml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def _dataset_with_loader(xml_path: str):
+    from spim_registration_tpu.core.imgloaders import (
+        hdf5_loader,
+        npy_loader,
+        tiff_stack_loader,
+    )
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    ds = load_dataset(xml_path)
+    base = ds.base_path
+    h5 = os.path.join(base, "data.h5")
+    if os.path.exists(h5):
+        ds.loader = hdf5_loader(h5)
+    elif any(f.endswith(".npy") for f in os.listdir(base)):
+        ds.loader = npy_loader(base)
+    else:
+        ds.loader = tiff_stack_loader(base)
+    return ds
+
+
+def _load_config(args):
+    from spim_registration_tpu.pipeline.config import (
+        RunConfig,
+        apply_overrides,
+        from_json,
+    )
+
+    cfg = from_json(args.config) if getattr(args, "config", None) \
+        else RunConfig()
+    overrides: Dict[str, object] = {}
+    for ov in getattr(args, "set", []) or []:
+        key, _, val = ov.partition("=")
+        try:
+            overrides[key] = json.loads(val)
+        except json.JSONDecodeError:
+            overrides[key] = val
+    return apply_overrides(cfg, overrides) if overrides else cfg
+
+
+def cmd_simulate(args):
+    from spim_registration_tpu.core.dataset import Dataset, ViewDescription
+    from spim_registration_tpu.core.xml_io import save_dataset
+    from spim_registration_tpu.utils.simulation import make_multiview_scene
+
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    shape = tuple(args.shape)
+    psf_sigmas = None
+    if args.blur:
+        psf_sigmas = [(2.5, 1.0, 1.0), (1.0, 1.0, 2.5), (2.0, 1.2, 1.2),
+                      (1.2, 1.2, 2.0), (1.8, 1.0, 1.4), (1.4, 1.0, 1.8)]
+    ds = Dataset(base_path=args.out)
+    for tp in range(args.timepoints):
+        scene = make_multiview_scene(
+            rng, n_views=args.views, shape=shape, n_beads=args.beads,
+            bead_sigma=args.bead_sigma, psf_sigmas=psf_sigmas)
+        for s, vol in enumerate(scene.volumes):
+            np.save(os.path.join(args.out, f"tp{tp}_setup{s}.npy"),
+                    vol.astype(np.float32))
+            vd = ViewDescription(view_id=(tp, s), angle=s, size=shape)
+            ds.add_view(vd)
+            np.save(os.path.join(args.out, f"truth_tp{tp}_setup{s}.npy"),
+                    scene.models[s])
+    xml = os.path.join(args.out, "dataset.xml")
+    save_dataset(ds, xml)
+    print(f"wrote {xml} ({args.timepoints} tp x {args.views} views)")
+
+
+def cmd_detect(args):
+    from spim_registration_tpu.core.xml_io import save_dataset
+    from spim_registration_tpu.detect.dog import detect_beads_dataset
+
+    ds = _dataset_with_loader(args.xml)
+    cfg = _load_config(args)
+    detect_beads_dataset(ds, label=cfg.label, params=cfg.detection)
+    save_dataset(ds, args.xml)
+    for vid in sorted(ds.views):
+        ips = ds.views[vid].interest_points.get(cfg.label)
+        print(f"view {vid}: {0 if ips is None else len(ips.points)} points")
+
+
+def cmd_register(args):
+    from spim_registration_tpu.core.xml_io import save_dataset
+    from spim_registration_tpu.pipeline.run import (
+        RegistrationConfig,
+        register_views,
+    )
+
+    ds = _dataset_with_loader(args.xml)
+    cfg = _load_config(args)
+    rc = RegistrationConfig(detection=cfg.detection, pairwise=cfg.pairwise,
+                            global_opt=cfg.global_opt)
+    for tp in ds.timepoints():
+        views = ds.views_of_timepoint(tp)
+        pts = []
+        have_pts = all(cfg.label in v.interest_points for v in views)
+        vols = None
+        if have_pts:
+            pts = [np.asarray(v.interest_points[cfg.label].points)
+                   for v in views]
+            res = register_views(None, rc, points=pts)
+        else:
+            vols = [ds.get_image(v.view_id) for v in views]
+            res = register_views(vols, rc)
+        for v, vd in enumerate(views):
+            vd.set_transform("registration", res.models[v])
+        print(f"tp {tp}: residual mean={res.mean_error:.4f} "
+              f"max={res.max_error:.4f} px")
+    save_dataset(ds, args.xml)
+
+
+def cmd_fuse(args):
+    from spim_registration_tpu.core.imgloaders import save_tiff_stack
+    from spim_registration_tpu.fuse.weighted_avg import fuse_dataset
+
+    ds = _dataset_with_loader(args.xml)
+    cfg = _load_config(args)
+    for tp in ds.timepoints():
+        vids = [v.view_id for v in ds.views_of_timepoint(tp)]
+        out = fuse_dataset(ds, vids, params=cfg.fusion)
+        path = args.out.replace("{tp}", str(tp)) if "{tp}" in args.out \
+            else (args.out if len(ds.timepoints()) == 1
+                  else f"tp{tp}_{args.out}")
+        if path.endswith(".npy"):
+            np.save(path, out)
+        else:
+            save_tiff_stack(path, out)
+        print(f"tp {tp}: fused {out.shape} -> {path}")
+
+
+def cmd_deconvolve(args):
+    from spim_registration_tpu.core.imgloaders import save_tiff_stack
+    from spim_registration_tpu.deconv import (
+        deconvolve,
+        extract_psf,
+        prepare_views_for_deconvolution,
+    )
+    from spim_registration_tpu.fuse.bounding_box import maximal_bounding_box
+
+    ds = _dataset_with_loader(args.xml)
+    cfg = _load_config(args)
+    for tp in ds.timepoints():
+        views = ds.views_of_timepoint(tp)
+        vols = [ds.get_image(v.view_id) for v in views]
+        models = [v.model() for v in views]
+        psfs = []
+        for v, vol in zip(views, vols):
+            ips = v.interest_points.get(cfg.label)
+            if ips is None or len(ips.points) < 5:
+                print(f"view {v.view_id}: no interest points; run detect "
+                      "first", file=sys.stderr)
+                return 1
+            psf, _n = extract_psf(vol, v.model(), np.asarray(ips.points))
+            psfs.append(psf)
+        bbox = maximal_bounding_box([v.shape for v in vols], models)
+        prep = prepare_views_for_deconvolution(vols, models, psfs, bbox)
+        out = deconvolve(prep, cfg.deconvolution)
+        path = args.out.replace("{tp}", str(tp)) if "{tp}" in args.out \
+            else (args.out if len(ds.timepoints()) == 1
+                  else f"tp{tp}_{args.out}")
+        if path.endswith(".npy"):
+            np.save(path, out)
+        else:
+            save_tiff_stack(path, out)
+        print(f"tp {tp}: deconvolved {out.shape} -> {path}")
+
+
+def cmd_resave(args):
+    from spim_registration_tpu.core.resave import resave_hdf5
+    from spim_registration_tpu.core.xml_io import save_dataset
+
+    ds = _dataset_with_loader(args.xml)
+    h5 = args.h5 or os.path.join(ds.base_path, "data.h5")
+    resave_hdf5(ds, h5, max_levels=args.levels)
+    save_dataset(ds, args.xml)
+    print(f"resaved to {h5}")
+
+
+def cmd_info(args):
+    ds = _dataset_with_loader(args.xml) if args.load_images else None
+    if ds is None:
+        from spim_registration_tpu.core.xml_io import load_dataset
+        ds = load_dataset(args.xml)
+    print(f"dataset: {args.xml}")
+    print(f"timepoints: {ds.timepoints()}")
+    print(f"setups: {ds.setups()}")
+    for vid, vd in sorted(ds.views.items()):
+        labels = {k: len(v.points) for k, v in vd.interest_points.items()}
+        print(f"  view {vid}: angle={vd.angle} size={vd.size} "
+              f"transforms={[t.name for t in vd.transforms]} "
+              f"points={labels}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="spim-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", help="RunConfig JSON file")
+        sp.add_argument("--set", action="append", metavar="KEY=VAL",
+                        help="dotted config override, e.g. "
+                             "detection.sigma=2.0")
+
+    sp = sub.add_parser("simulate", help="generate a synthetic dataset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--views", type=int, default=4)
+    sp.add_argument("--timepoints", type=int, default=1)
+    sp.add_argument("--beads", type=int, default=120)
+    sp.add_argument("--shape", type=int, nargs=3, default=[96, 96, 96])
+    sp.add_argument("--bead-sigma", type=float, default=1.7)
+    sp.add_argument("--blur", action="store_true",
+                    help="apply per-view anisotropic PSF blur")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_simulate)
+
+    for name, fn in (("detect", cmd_detect), ("register", cmd_register)):
+        sp = sub.add_parser(name)
+        sp.add_argument("xml")
+        common(sp)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("fuse")
+    sp.add_argument("xml")
+    sp.add_argument("--out", default="fused.tif")
+    common(sp)
+    sp.set_defaults(fn=cmd_fuse)
+
+    sp = sub.add_parser("deconvolve")
+    sp.add_argument("xml")
+    sp.add_argument("--out", default="deconvolved.tif")
+    common(sp)
+    sp.set_defaults(fn=cmd_deconvolve)
+
+    sp = sub.add_parser("resave")
+    sp.add_argument("xml")
+    sp.add_argument("--h5")
+    sp.add_argument("--levels", type=int, default=4)
+    sp.set_defaults(fn=cmd_resave)
+
+    sp = sub.add_parser("info")
+    sp.add_argument("xml")
+    sp.add_argument("--load-images", action="store_true")
+    sp.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""RunConfig serialization + CLI end-to-end."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from spim_registration_tpu.pipeline.config import (
+    RunConfig,
+    apply_overrides,
+    from_json,
+    to_json,
+)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = RunConfig()
+    path = str(tmp_path / "cfg.json")
+    to_json(cfg, path)
+    cfg2 = from_json(path)
+    assert cfg2 == cfg
+
+
+def test_config_overrides():
+    cfg = RunConfig()
+    cfg2 = apply_overrides(cfg, {
+        "detection.sigma": 2.5,
+        "pairwise.model": "rigid",
+        "pairwise.ransac.max_epsilon": 3.0,
+        "deconvolution.num_iterations": 42,
+    })
+    assert cfg2.detection.sigma == 2.5
+    assert cfg2.pairwise.model == "rigid"
+    assert cfg2.pairwise.ransac.max_epsilon == 3.0
+    assert cfg2.deconvolution.num_iterations == 42
+    # original untouched
+    assert cfg.detection.sigma == 1.8
+
+
+def test_config_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        apply_overrides(RunConfig(), {"detection.nope": 1})
+
+
+def test_cli_simulate_detect_register(tmp_path):
+    from spim_registration_tpu.cli import main
+
+    out = str(tmp_path / "ds")
+    assert main(["simulate", "--out", out, "--views", "2", "--shape",
+                 "48", "48", "48", "--beads", "60", "--seed", "3"]) == 0
+    xml = os.path.join(out, "dataset.xml")
+    assert os.path.exists(xml)
+    assert main(["detect", xml, "--set", "detection.threshold=0.01"]) == 0
+    assert main(["register", xml]) == 0
+    assert main(["fuse", xml, "--out",
+                 os.path.join(out, "fused.npy")]) == 0
+    fused = np.load(os.path.join(out, "fused.npy"))
+    assert fused.ndim == 3 and np.all(np.isfinite(fused))
+    assert main(["info", xml]) == 0
