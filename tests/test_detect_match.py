@@ -115,3 +115,19 @@ def test_two_view_end_to_end(rng):
     true_mapped = test_pts @ true_A[:, :3].T + true_A[:, 3]
     err = np.linalg.norm(mapped - true_mapped, axis=1)
     assert np.mean(err) < 0.5, f"mean transform error {np.mean(err):.3f}px"
+
+
+def test_threshold_sweep_and_suggestion(rng):
+    from spim_registration_tpu.detect.tune import (
+        suggest_threshold,
+        sweep_detection,
+    )
+
+    pts = rng.uniform(10, 54, (60, 3))
+    vol = render_beads(pts, (64, 64, 64), 1.7)
+    vol += rng.normal(0, 0.01, vol.shape).astype(np.float32)
+    sw = sweep_detection(vol, sigmas=(1.8,), thresholds=(0.001, 0.008))
+    assert sw[(1.8, 0.001)] > sw[(1.8, 0.008)]
+    t = suggest_threshold(vol, 1.8, expected_points=60)
+    found, _ = detect_beads(vol, DoGParameters(sigma=1.8, threshold=t))
+    assert 50 <= len(found) <= 75
