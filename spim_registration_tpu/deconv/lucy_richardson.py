@@ -202,6 +202,31 @@ class DeconvolutionRunner:
             jnp.float32(self.params.min_value * self.avg),
             n, self.fft_shape, self.img_shape)
 
+    def run_checkpointed(self, checkpoint_every: int,
+                         checkpoint_fn=None,
+                         num_iterations: Optional[int] = None,
+                         psi0=None):
+        """Run in segments of `checkpoint_every` iterations, invoking
+        `checkpoint_fn(iteration, psi_ndarray)` after each segment.
+
+        Reference parity: `BayesMVDeconvolution`'s debugMode/debugInterval
+        intermediate stacks (SURVEY.md section 2.7) and the checkpoint
+        philosophy of section 5 (psi persisted every k iterations so a
+        crashed long deconvolution resumes from the last segment; pass the
+        restored array back as `psi0`).
+        """
+        n = (num_iterations if num_iterations is not None
+             else self.params.num_iterations)
+        psi = self.psi0 if psi0 is None else psi0
+        done = 0
+        while done < n:
+            step = min(checkpoint_every, n - done)
+            psi = self.run(num_iterations=step, psi0=psi)
+            done += step
+            if checkpoint_fn is not None:
+                checkpoint_fn(done, np.asarray(psi))
+        return psi
+
 
 def deconvolve(prep, params: DeconvolutionParameters = DeconvolutionParameters()
                ) -> np.ndarray:

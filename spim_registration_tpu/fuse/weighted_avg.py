@@ -48,11 +48,18 @@ class FusionParameters:
     interpolation: str = "linear"  # linear | nearest (reference GUI choice)
 
 
-@partial(jax.jit, static_argnames=("view_size", "params", "chunk_shape"))
+@partial(jax.jit, static_argnames=("view_size", "params", "chunk_shape",
+                                   "blend_size"))
 def _accumulate_view_chunk(acc_v, acc_w, vol, weight_vol, world_to_view,
                            chunk_offset, view_size, params: FusionParameters,
-                           chunk_shape):
-    """Add one view's contribution to one output chunk (device step)."""
+                           chunk_shape, blend_size=None, blend_offset=None):
+    """Add one view's contribution to one output chunk (device step).
+
+    `blend_size`/`blend_offset`: when `vol` is a sub-region of the full
+    view (streaming mode), the blending ramp must still be evaluated in
+    FULL-view coordinates: full = sampled + blend_offset, ramp over
+    blend_size.
+    """
     grid = output_grid_coords(chunk_shape, dtype=jnp.float32)
     grid = grid + chunk_offset[None, None, None, :]
     vc = apply_affine(world_to_view.astype(jnp.float32), grid)
@@ -62,7 +69,10 @@ def _accumulate_view_chunk(acc_v, acc_w, vol, weight_vol, world_to_view,
         vals, inside = trilinear_sample(vol, vc)
     w = inside.astype(jnp.float32)
     if params.use_blending:
-        w = w * blending_weight(vc, view_size, params.blending)
+        bc = vc if blend_offset is None else vc + blend_offset
+        w = w * blending_weight(
+            bc, view_size if blend_size is None else blend_size,
+            params.blending)
     if params.use_content_based and weight_vol is not None:
         cw, _ = trilinear_sample(weight_vol, vc)
         w = w * cw

@@ -1,0 +1,81 @@
+"""Batched multi-pair matching: all view-pairs in one device program.
+
+Reference parity: P3 (SURVEY.md section 2.11) — the reference submits each
+view-pair to a thread pool; here all pairs' descriptor matching + RANSAC
+run as ONE vmapped XLA program (pairs can further shard over a mesh axis
+with `jax.sharding`), which is how "views/s matched" scales on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spim_registration_tpu.match.pairwise import (
+    PairwiseParameters,
+    PairwiseResult,
+    _match_device,
+)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _match_pairs_device(keys, pa, va, pb, vb, params: PairwiseParameters):
+    return jax.vmap(
+        lambda k, a, av, b, bv: _match_device(k, a, av, b, bv, params)
+    )(keys, pa, va, pb, vb)
+
+
+def match_pairs_batched(
+    points: Sequence[np.ndarray],
+    pairs: Sequence[Tuple[int, int]],
+    params: PairwiseParameters = PairwiseParameters(),
+    seed: int = 0,
+) -> Dict[Tuple[int, int], PairwiseResult]:
+    """Match many view pairs in one device launch.
+
+    Args:
+      points: per-view (N_v, 3) interest points.
+      pairs: list of (i, j) view-index pairs.
+
+    Returns {pair: PairwiseResult} like repeated `match_pair` calls.
+    """
+    n = params.max_points
+    V = len(points)
+    padded = np.zeros((V, n, 3), np.float32)
+    valid = np.zeros((V, n), bool)
+    for v, pts in enumerate(points):
+        m = min(len(pts), n)
+        padded[v, :m] = pts[:m]
+        valid[v, :m] = True
+
+    ia = np.asarray([p[0] for p in pairs])
+    ib = np.asarray([p[1] for p in pairs])
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(pairs))
+    j, ok, res = _match_pairs_device(
+        keys,
+        jnp.asarray(padded[ia]), jnp.asarray(valid[ia]),
+        jnp.asarray(padded[ib]), jnp.asarray(valid[ib]),
+        params)
+
+    j = np.asarray(j)
+    ok = np.asarray(ok)
+    inl = np.asarray(res.inlier_mask)
+    out: Dict[Tuple[int, int], PairwiseResult] = {}
+    for k, pair in enumerate(pairs):
+        cand_idx = np.nonzero(ok[k])[0]
+        inlier_idx = np.nonzero(inl[k])[0]
+        out[pair] = PairwiseResult(
+            model=np.asarray(res.model[k]),
+            candidates=np.stack([cand_idx, j[k][cand_idx]], axis=1),
+            inliers=np.stack([inlier_idx, j[k][inlier_idx]], axis=1),
+            num_candidates=int(res.num_candidates[k]),
+            num_inliers=int(res.num_inliers[k]),
+            mean_error=float(res.mean_error[k]),
+            max_error=float(res.max_error[k]),
+            valid=bool(res.valid[k]),
+        )
+    return out

@@ -89,15 +89,23 @@ def register_views(
         pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
 
     t0 = time.time()
-    pair_results: Dict[Tuple[int, int], PairwiseResult] = {}
     matches: List[PairMatches] = []
 
     def _map(init_m, pts):
         return pts @ init_m[:, :3].T + init_m[:, 3]
 
+    if len(pairs) > 1:
+        from spim_registration_tpu.match.batched import match_pairs_batched
+
+        pair_results = match_pairs_batched(points, pairs, config.pairwise)
+    else:
+        pair_results = {
+            (i, j): match_pair(points[i], points[j], config.pairwise,
+                               seed=i * V + j)
+            for (i, j) in pairs}
+
     for (i, j) in pairs:
-        res = match_pair(points[i], points[j], config.pairwise, seed=i * V + j)
-        pair_results[(i, j)] = res
+        res = pair_results[(i, j)]
         logger.info("match pair=(%d,%d) %s", i, j, res)
         if not res.valid or len(res.inliers) == 0:
             continue

@@ -1,0 +1,101 @@
+"""Device-side assembly of the pose-graph normal equations.
+
+The distributed heart of the solver (SURVEY.md section 2.11 "Distributed
+communication backend": psum of J^T J / J^T r): correspondence residual
+design blocks are built batched on device and scatter-added into the dense
+reduced normal matrix. `assemble_normal_equations` is pure and shardable —
+under `shard_map` with correspondences split over a mesh axis, follow it
+with `jax.lax.psum` over that axis; the per-shard call is exactly this
+function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _design(model: str, pts: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, P) design matrices; see solve.global_opt._linear_design."""
+    n = pts.shape[0]
+    z, y, x = pts[:, 0], pts[:, 1], pts[:, 2]
+    zero = jnp.zeros_like(z)
+    one = jnp.ones_like(z)
+    if model == "translation":
+        rows = [
+            [one, zero, zero],
+            [zero, one, zero],
+            [zero, zero, one],
+        ]
+    elif model == "rigid":
+        rows = [
+            [zero, x, -y, one, zero, zero],
+            [-x, zero, z, zero, one, zero],
+            [y, -z, zero, zero, zero, one],
+        ]
+    elif model == "affine":
+        rows = [
+            [z, y, x] + [zero] * 6 + [one, zero, zero],
+            [zero] * 3 + [z, y, x] + [zero] * 3 + [zero, one, zero],
+            [zero] * 6 + [z, y, x] + [zero, zero, one],
+        ]
+    else:
+        raise ValueError(model)
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=1)
+
+
+@partial(jax.jit, static_argnames=("model", "n_free"))
+def assemble_normal_equations(model: str, n_free: int,
+                              pc: jnp.ndarray, qc: jnp.ndarray,
+                              w: jnp.ndarray,
+                              col_i: jnp.ndarray, col_j: jnp.ndarray):
+    """Assemble H (dim, dim) and g (dim,) for residuals r = pc - qc.
+
+    Args:
+      pc, qc: (N, 3) corresponding points already mapped by the current
+        tile transforms (the linearization point).
+      w: (N,) weights (0 for padding rows).
+      col_i, col_j: (N,) free-column index of each side's tile, or -1 for
+        fixed tiles (their contribution moves into g only).
+    """
+    P = {"translation": 3, "rigid": 6, "affine": 12}[model]
+    dim = n_free * P
+    Xi = _design(model, pc)   # (N, 3, P)
+    Xj = _design(model, qc)
+    r0 = pc - qc
+
+    XtXi = jnp.einsum("nrp,nrq,n->npq", Xi, Xi, w)
+    XtXj = jnp.einsum("nrp,nrq,n->npq", Xj, Xj, w)
+    XtXij = jnp.einsum("nrp,nrq,n->npq", Xi, Xj, w)
+    gi = jnp.einsum("nrp,nr,n->np", Xi, r0, w)
+    gj = jnp.einsum("nrp,nr,n->np", Xj, r0, w)
+
+    H = jnp.zeros((dim, dim), jnp.float64 if pc.dtype == jnp.float64
+                  else jnp.float32)
+    g = jnp.zeros((dim,), H.dtype)
+
+    p_idx = jnp.arange(P)
+
+    def block_rows(col):
+        # (N, P) flat row indices; invalid (col < 0) -> out-of-range (drop)
+        base = jnp.where(col >= 0, col * P, dim + 1)
+        return base[:, None] + p_idx[None, :]
+
+    ri = block_rows(col_i)  # (N, P)
+    rj = block_rows(col_j)
+
+    def scatter_block(H, rows, cols, vals):
+        # rows (N,P), cols (N,P), vals (N,P,P)
+        rr = jnp.broadcast_to(rows[:, :, None], vals.shape)
+        cc = jnp.broadcast_to(cols[:, None, :], vals.shape)
+        return H.at[rr, cc].add(vals, mode="drop")
+
+    H = scatter_block(H, ri, ri, XtXi)
+    H = scatter_block(H, rj, rj, XtXj)
+    H = scatter_block(H, ri, rj, -XtXij)
+    H = scatter_block(H, rj, ri, -jnp.swapaxes(XtXij, 1, 2))
+    g = g.at[ri].add(gi, mode="drop")
+    g = g.at[rj].add(-gj, mode="drop")
+    return H, g

@@ -51,6 +51,9 @@ class GlobalOptParameters:
     max_iterations: int = 20         # GN iterations (rigid); 1 for linear
     damping: float = 1e-6            # Tikhonov on the normal matrix
     convergence_tol: float = 1e-6    # stop when mean residual improves less
+    # None = auto: device assembly (solve/assembly.py) for large
+    # correspondence counts, host float64 loop for small ones
+    device_assembly: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -195,34 +198,54 @@ def solve_global(
         qc = np.einsum("nrc,nc->nr", Bj[:, :, :3], q0) + Bj[:, :, 3]
         r0 = pc - qc  # residual at theta = 0
 
-        Xi = _linear_design(params.model, pc)
-        Xj = _linear_design(params.model, qc)
-
         dim = len(free_tiles) * P
-        H = np.zeros((dim, dim))
-        g = np.zeros(dim)
+        use_device = (params.device_assembly
+                      if params.device_assembly is not None
+                      else len(p0) >= 2000)
+        if use_device:
+            from spim_registration_tpu.solve.assembly import (
+                assemble_normal_equations,
+            )
+            import jax.numpy as jnp
 
-        # accumulate normal equations blockwise
-        XtXi = np.einsum("nrp,nrq,n->npq", Xi, Xi, w)
-        XtXj = np.einsum("nrp,nrq,n->npq", Xj, Xj, w)
-        XtXij = np.einsum("nrp,nrq,n->npq", Xi, Xj, w)
-        gi = np.einsum("nrp,nr,n->np", Xi, r0, w)
-        gj = np.einsum("nrp,nr,n->np", Xj, r0, w)
+            col_i = np.asarray([col_of.get(int(t), -1) for t in ti],
+                               np.int32)
+            col_j = np.asarray([col_of.get(int(t), -1) for t in tj],
+                               np.int32)
+            Hd, gd = assemble_normal_equations(
+                params.model, len(free_tiles),
+                jnp.asarray(pc, jnp.float32), jnp.asarray(qc, jnp.float32),
+                jnp.asarray(w, jnp.float32), jnp.asarray(col_i),
+                jnp.asarray(col_j))
+            H = np.asarray(Hd, np.float64)
+            g = np.asarray(gd, np.float64)
+        else:
+            Xi = _linear_design(params.model, pc)
+            Xj = _linear_design(params.model, qc)
+            H = np.zeros((dim, dim))
+            g = np.zeros(dim)
 
-        for n in range(len(p0)):
-            a, b = ti[n], tj[n]
-            fa, fb = a in col_of, b in col_of
-            if fa:
-                ca = col_of[a] * P
-                H[ca:ca + P, ca:ca + P] += XtXi[n]
-                g[ca:ca + P] += gi[n]
-            if fb:
-                cb = col_of[b] * P
-                H[cb:cb + P, cb:cb + P] += XtXj[n]
-                g[cb:cb + P] -= gj[n]
-            if fa and fb:
-                H[ca:ca + P, cb:cb + P] -= XtXij[n]
-                H[cb:cb + P, ca:ca + P] -= XtXij[n].T
+            # accumulate normal equations blockwise
+            XtXi = np.einsum("nrp,nrq,n->npq", Xi, Xi, w)
+            XtXj = np.einsum("nrp,nrq,n->npq", Xj, Xj, w)
+            XtXij = np.einsum("nrp,nrq,n->npq", Xi, Xj, w)
+            gi = np.einsum("nrp,nr,n->np", Xi, r0, w)
+            gj = np.einsum("nrp,nr,n->np", Xj, r0, w)
+
+            for n in range(len(p0)):
+                a, b = ti[n], tj[n]
+                fa, fb = a in col_of, b in col_of
+                if fa:
+                    ca = col_of[a] * P
+                    H[ca:ca + P, ca:ca + P] += XtXi[n]
+                    g[ca:ca + P] += gi[n]
+                if fb:
+                    cb = col_of[b] * P
+                    H[cb:cb + P, cb:cb + P] += XtXj[n]
+                    g[cb:cb + P] -= gj[n]
+                if fa and fb:
+                    H[ca:ca + P, cb:cb + P] -= XtXij[n]
+                    H[cb:cb + P, ca:ca + P] -= XtXij[n].T
         H += params.damping * np.eye(dim)
         theta = np.linalg.solve(H, -g)
 

@@ -131,3 +131,26 @@ def test_threshold_sweep_and_suggestion(rng):
     t = suggest_threshold(vol, 1.8, expected_points=60)
     found, _ = detect_beads(vol, DoGParameters(sigma=1.8, threshold=t))
     assert 50 <= len(found) <= 75
+
+
+def test_batched_pairs_match_single(rng):
+    """match_pairs_batched must agree with per-pair match_pair results."""
+    from spim_registration_tpu.match.batched import match_pairs_batched
+
+    clouds = []
+    base = rng.uniform(0, 150, (120, 3)).astype(np.float32)
+    for v in range(3):
+        R = random_rotation(rng, 10.0)
+        t = rng.uniform(-5, 5, 3)
+        clouds.append((base @ R.T + t
+                       + rng.normal(0, 0.05, base.shape)).astype(np.float32))
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    params = PairwiseParameters(model="rigid", max_points=128)
+    batched = match_pairs_batched(clouds, pairs, params)
+    for (i, j) in pairs:
+        res = batched[(i, j)]
+        assert res.valid
+        assert res.num_inliers > 80
+        # all inlier correspondences are identity (same base ordering)
+        correct = np.mean([ia == ib for ia, ib in res.inliers])
+        assert correct > 0.95

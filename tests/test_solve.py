@@ -121,3 +121,23 @@ def test_solve_disconnected_graph_regularized(rng):
     res = solve_global(matches + [iso], fixed_views=[0],
                        params=GlobalOptParameters(model="translation"))
     assert np.all(np.isfinite(res.corrections[5]))
+
+
+@pytest.mark.parametrize("model", ["translation", "rigid", "affine"])
+def test_device_assembly_matches_host(rng, model):
+    """Device normal-equation assembly must agree with the host loop."""
+    truth = _make_views(rng, 4, "rigid" if model != "affine" else "affine")
+    if model == "translation":
+        truth = [np.concatenate([np.eye(3), t[:, 3:]], axis=1)
+                 for t in truth]
+    matches, truth = _correspondences(rng, truth, n_pts=40, noise=0.02)
+    res_host = solve_global(
+        matches, fixed_views=[0],
+        params=GlobalOptParameters(model=model, device_assembly=False))
+    res_dev = solve_global(
+        matches, fixed_views=[0],
+        params=GlobalOptParameters(model=model, device_assembly=True))
+    assert abs(res_host.mean_error - res_dev.mean_error) < 1e-3
+    for v in res_host.corrections:
+        np.testing.assert_allclose(res_dev.corrections[v],
+                                   res_host.corrections[v], atol=1e-3)
