@@ -64,6 +64,19 @@ def _load_config(args):
     return apply_overrides(cfg, overrides) if overrides else cfg
 
 
+def cmd_define(args):
+    from spim_registration_tpu.core.define import define_dataset
+    from spim_registration_tpu.core.xml_io import save_dataset
+
+    ds = define_dataset(args.base_path, args.pattern,
+                        voxel_size=tuple(args.voxel_size))
+    xml = os.path.join(args.base_path, "dataset.xml")
+    save_dataset(ds, xml)
+    print(f"defined {len(ds.views)} views "
+          f"({len(ds.timepoints())} tp x {len(ds.setups())} setups) "
+          f"-> {xml}")
+
+
 def cmd_simulate(args):
     from spim_registration_tpu.core.dataset import Dataset, ViewDescription
     from spim_registration_tpu.core.xml_io import save_dataset
@@ -227,6 +240,14 @@ def main(argv=None):
         sp.add_argument("--set", action="append", metavar="KEY=VAL",
                         help="dotted config override, e.g. "
                              "detection.sigma=2.0")
+
+    sp = sub.add_parser("define",
+                        help="define a dataset from files on disk")
+    sp.add_argument("base_path")
+    sp.add_argument("--pattern", default="tp{tp}_setup{setup}.npy")
+    sp.add_argument("--voxel-size", type=float, nargs=3,
+                    default=[1.0, 1.0, 1.0], metavar=("Z", "Y", "X"))
+    sp.set_defaults(fn=cmd_define)
 
     sp = sub.add_parser("simulate", help="generate a synthetic dataset")
     sp.add_argument("--out", required=True)
