@@ -67,3 +67,23 @@ def bounding_box_from_points(points_world: np.ndarray, margin: int = 10,
     lo = np.floor(points_world.min(axis=0)).astype(int) - margin
     hi = np.ceil(points_world.max(axis=0)).astype(int) + margin + 1
     return BoundingBox(name, tuple(lo), tuple(hi))
+
+
+def automatic_reorientation(points_world: np.ndarray, margin: int = 10):
+    """Minimal-volume reorientation (the reference's
+    `AutomaticReorientation`): PCA of the interest-point cloud gives a
+    rotation that axis-aligns the sample; returns (rotation (3,4) affine
+    to prepend to every view, BoundingBox in the rotated frame).
+    """
+    pts = np.asarray(points_world, float)
+    c = pts.mean(axis=0)
+    cov = np.cov((pts - c).T)
+    _w, V = np.linalg.eigh(cov)
+    R = V.T[::-1]  # principal axis first (z)
+    if np.linalg.det(R) < 0:
+        R[2] *= -1
+    rot = np.concatenate([R, (c - R @ c)[:, None]], axis=1)
+    moved = (pts - c) @ R.T + c
+    lo = np.floor(moved.min(axis=0)).astype(int) - margin
+    hi = np.ceil(moved.max(axis=0)).astype(int) + margin + 1
+    return rot, BoundingBox("reoriented", tuple(lo), tuple(hi))

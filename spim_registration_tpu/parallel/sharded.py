@@ -11,7 +11,7 @@ host-mediated copies. psi in Richardson-Lucy never leaves its shard.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -171,13 +171,20 @@ def sharded_fft_convolve(vol, kernel, mesh: Mesh, axis_name: str = "z"):
 
 # ---------------------------------------------------------------- deconv
 
-def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z"):
+def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
+                       view_axis: Optional[str] = None):
     """Multi-view RL with psi + views z-sharded over the mesh.
 
     Same math as `deconv.lucy_richardson.deconvolve` but every convolution
     is per-shard overlap-save with live halo exchange; psi stays sharded
     for the entire run (SURVEY.md section 5: the 70% scaling-efficiency
     target lives here).
+
+    With `view_axis` set (a second mesh axis) the PARALLEL update scheme
+    runs views data-parallel: each view-shard convolves its views against
+    the (view-replicated, z-sharded) psi and the update factor is
+    `psum`-reduced over the view axis — mesh ("view", "z") uses both ICI
+    dimensions.
     """
     from spim_registration_tpu.deconv.lucy_richardson import compound_kernels
 
@@ -236,35 +243,56 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z"):
         return _local_fft_conv(xp, kfft, x.shape[0], h, fshape)[
             :, ry:ry + Y, rx:rx + X]
 
+    scheme = getattr(params, "scheme", "sequential")
+    if view_axis is not None and scheme != "parallel":
+        raise ValueError("view-axis sharding requires scheme='parallel' "
+                         "(sequential OSEM is inherently view-serial)")
+
     def f(psi, imgs, ws, k1_, k2_):
         k1f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k1_)
         k2f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k2_)
 
-        def view_step(p, inp):
-            img, w, a, b = inp
+        def quotient_conv(p, img, a, b):
             conv1 = local_conv(p, a)
             q = jnp.clip(img / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
-            conv2 = local_conv(q, b)
-            p = p * (1.0 + osem * w * (conv2 - 1.0))
+            return local_conv(q, b)
+
+        def regularize(p):
             if use_lam:
                 p = p / (1.0 + lam * p)
-            return jnp.maximum(p, minv), None
+            return jnp.maximum(p, minv)
 
-        def iteration(_i, p):
-            p, _ = jax.lax.scan(view_step, p, (imgs, ws, k1f, k2f))
-            return p
+        if scheme == "parallel":
+            def iteration(_i, p):
+                conv2 = jax.vmap(
+                    lambda img, a, b: quotient_conv(p, img, a, b)
+                )(imgs, k1f, k2f)
+                partial_f = jnp.sum(ws * (conv2 - 1.0), axis=0)
+                if view_axis is not None:
+                    partial_f = jax.lax.psum(partial_f, view_axis)
+                return regularize(p * (1.0 + partial_f))
+        else:
+            def view_step(p, inp):
+                img, w, a, b = inp
+                conv2 = quotient_conv(p, img, a, b)
+                return regularize(p * (1.0 + osem * w * (conv2 - 1.0))), None
+
+            def iteration(_i, p):
+                p, _ = jax.lax.scan(view_step, p, (imgs, ws, k1f, k2f))
+                return p
 
         return jax.lax.fori_loop(0, n_iter, iteration, psi)
 
+    vspec = view_axis  # None -> views replicated / local
     sharded = NamedSharding(mesh, P(axis_name))
-    sharded_v = NamedSharding(mesh, P(None, axis_name))
+    sharded_v = NamedSharding(mesh, P(vspec, axis_name))
     psi = jax.device_put(jnp.asarray(psi0), sharded)
     imgs = jax.device_put(jnp.asarray(images), sharded_v)
     ws = jax.device_put(jnp.asarray(weights), sharded_v)
 
     run = jax.jit(shard_map(
         f, mesh,
-        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name),
-                  P(), P()),
+        in_specs=(P(axis_name), P(vspec, axis_name), P(vspec, axis_name),
+                  P(vspec), P(vspec)),
         out_specs=P(axis_name)))
     return np.asarray(run(psi, imgs, ws, k1, k2))

@@ -37,6 +37,11 @@ class RegistrationConfig:
     detection: DoGParameters = DoGParameters()
     pairwise: PairwiseParameters = PairwiseParameters()
     global_opt: GlobalOptParameters = GlobalOptParameters()
+    # retry invalid pairs with this matching method (the manual
+    # GH-vs-RGLDM method switch of the reference GUI, automated);
+    # None disables the fallback
+    fallback_method: Optional[str] = "rgldm"
+    fallback_ratio_of_distance: float = 2.0
 
 
 @dataclasses.dataclass
@@ -94,26 +99,47 @@ def register_views(
     def _map(init_m, pts):
         return pts @ init_m[:, :3].T + init_m[:, 3]
 
+    # Match in CALIBRATED space: descriptors are rotation-invariant, so
+    # the initial transforms (calibration / phase-corr init) must be
+    # applied to the points first — the reference likewise transforms
+    # interest points with the current model before pairwise matching
+    # (TransformationTools, SURVEY.md section 2.4).
+    cal_points = [_map(init[v], np.asarray(points[v])) for v in range(V)]
+
     if len(pairs) > 1:
         from spim_registration_tpu.match.batched import match_pairs_batched
 
-        pair_results = match_pairs_batched(points, pairs, config.pairwise)
+        pair_results = match_pairs_batched(cal_points, pairs,
+                                           config.pairwise)
     else:
         pair_results = {
-            (i, j): match_pair(points[i], points[j], config.pairwise,
-                               seed=i * V + j)
+            (i, j): match_pair(cal_points[i], cal_points[j],
+                               config.pairwise, seed=i * V + j)
             for (i, j) in pairs}
+
+    failed = [p for p in pairs if not pair_results[p].valid]
+    if failed and config.fallback_method is not None \
+            and config.fallback_method != config.pairwise.method:
+        fb = dataclasses.replace(
+            config.pairwise, method=config.fallback_method,
+            ratio_of_distance=config.fallback_ratio_of_distance)
+        logger.info("retrying %d invalid pairs with %s", len(failed),
+                    config.fallback_method)
+        for (i, j) in failed:
+            res = match_pair(cal_points[i], cal_points[j], fb,
+                             seed=i * V + j + 7)
+            if res.valid:
+                pair_results[(i, j)] = res
 
     for (i, j) in pairs:
         res = pair_results[(i, j)]
         logger.info("match pair=(%d,%d) %s", i, j, res)
         if not res.valid or len(res.inliers) == 0:
             continue
-        pi = points[i][res.inliers[:, 0]]
-        pj = points[j][res.inliers[:, 1]]
         matches.append(PairMatches(
             view_i=i, view_j=j,
-            p=_map(init[i], pi), q=_map(init[j], pj)))
+            p=cal_points[i][res.inliers[:, 0]],
+            q=cal_points[j][res.inliers[:, 1]]))
     timings["match"] = time.time() - t0
 
     if not matches:

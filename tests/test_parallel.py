@@ -98,3 +98,44 @@ def test_sharded_deconvolve_matches_single(mesh, rng):
     # psi after 6 iterations must agree to float tolerance at every voxel,
     # including the 7 shard seams
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_parallel_scheme_2d_mesh(rng):
+    """Parallel-update RL on a (view, z) 2D mesh must equal the
+    single-device parallel-scheme result (psum over views + halo z)."""
+    from spim_registration_tpu.parallel import make_mesh
+
+    mesh2 = make_mesh(("view", "z"), (2, 4))
+    pts = rng.uniform(8, 56, size=(20, 3))
+    truth = render_beads(pts, (64, 32, 32), sigma=1.0)
+    psfs = [gaussian_psf((9, 9, 9), s) for s in
+            ((2.5, 1.0, 1.0), (1.0, 1.0, 2.5), (1.8, 1.2, 1.2),
+             (1.2, 1.2, 1.8))]
+    views = [direct_convolve_np(truth, p).astype(np.float32) for p in psfs]
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    bbox = BoundingBox("b", (0, 0, 0), (64, 32, 32))
+    prep = prepare_views_for_deconvolution(views, [ident] * 4, psfs, bbox)
+    params = DeconvolutionParameters(num_iterations=5, scheme="parallel",
+                                     psf_type="independent")
+    ref = deconvolve(prep, params)
+    out = sharded_deconvolve(prep, params, mesh2, axis_name="z",
+                             view_axis="view")
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_view_axis_requires_parallel(rng):
+    from spim_registration_tpu.parallel import make_mesh
+
+    mesh2 = make_mesh(("view", "z"), (2, 4))
+    pts = rng.uniform(8, 24, size=(5, 3))
+    truth = render_beads(pts, (32, 16, 16), sigma=1.0)
+    psf = gaussian_psf((7, 7, 7))
+    va = direct_convolve_np(truth, psf).astype(np.float32)
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    prep = prepare_views_for_deconvolution(
+        [va, va], [ident, ident], [psf, psf],
+        BoundingBox("b", (0, 0, 0), (32, 16, 16)))
+    with pytest.raises(ValueError, match="parallel"):
+        sharded_deconvolve(prep,
+                           DeconvolutionParameters(scheme="sequential"),
+                           mesh2, view_axis="view")

@@ -97,3 +97,83 @@ def test_multihost_single_process_helpers():
     mesh = host_z_mesh()
     assert mesh.shape["host"] == 1
     assert shard_timepoints([0, 1, 2, 3]) == [0, 1, 2, 3]
+
+
+def test_automatic_reorientation(rng):
+    from spim_registration_tpu.fuse.bounding_box import (
+        automatic_reorientation,
+    )
+
+    # elongated cloud along a diagonal
+    t = rng.uniform(0, 100, 200)
+    pts = np.stack([t, 0.5 * t + rng.normal(0, 2, 200),
+                    0.2 * t + rng.normal(0, 2, 200)], axis=1) + 50
+    rot, bb = automatic_reorientation(pts, margin=5)
+    moved = pts @ rot[:, :3].T + rot[:, 3]
+    ext = moved.max(axis=0) - moved.min(axis=0)
+    # after reorientation the extent is concentrated on the first axis
+    assert ext[0] > 3 * ext[1] and ext[0] > 3 * ext[2]
+    assert np.prod(bb.shape) < np.prod(
+        np.ptp(pts, axis=0).astype(int) + 11)
+
+
+def test_anisotropic_calibration_registration(rng):
+    """Property test matching real SPIM use: anisotropic z acquisition +
+    calibration transform; registration must recover the true transform
+    in calibrated (isotropic world) space."""
+    from spim_registration_tpu.detect.dog import DoGParameters, detect_beads
+    from spim_registration_tpu.pipeline import (
+        RegistrationConfig,
+        register_views,
+    )
+    from spim_registration_tpu.match.pairwise import PairwiseParameters
+    from spim_registration_tpu.utils.simulation import (
+        make_multiview_scene,
+        render_beads,
+    )
+
+    # simulate isotropic world, acquire with z downsampled 2x
+    scene = make_multiview_scene(rng, n_views=2, shape=(64, 96, 96),
+                                 n_beads=80, noise=0.0, bead_sigma=1.7)
+    vols_aniso = [v[::2] for v in scene.volumes]  # (32, 96, 96), z aniso
+    calib = np.array([[2.0, 0, 0, 0.5], [0, 1, 0, 0], [0, 0, 1, 0.0]])
+    cfg = RegistrationConfig(
+        detection=DoGParameters(sigma=1.8, threshold=0.004),
+        pairwise=PairwiseParameters(model="affine", max_points=256))
+    res = register_views(vols_aniso, cfg,
+                         initial_models=[calib, calib])
+    assert res.global_result is not None and res.mean_error < 0.7
+    # view-1 world transform must match scene truth (gauge: view 0)
+    # compose: est = B_1 o calib ; true relation maps aniso view-1 coords
+    # through calib^-1? Simpler check: corresponding world positions agree.
+    p0 = res.points[0]
+    p1 = res.points[1]
+    A0, A1 = res.models
+    # map both views' points to world; matched bead pairs should coincide
+    w0 = p0 @ A0[:, :3].T + A0[:, 3]
+    w1 = p1 @ A1[:, :3].T + A1[:, 3]
+    d = np.linalg.norm(w0[:, None] - w1[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.5
+
+
+def test_fallback_to_rgldm(rng):
+    """A sparse cloud where geometric hashing fails must be rescued by the
+    RGLDM fallback."""
+    from spim_registration_tpu.pipeline import (
+        RegistrationConfig,
+        register_views,
+    )
+    from spim_registration_tpu.match.pairwise import PairwiseParameters
+    from spim_registration_tpu.utils.simulation import random_rotation
+
+    n = 25
+    a = rng.uniform(0, 120, (n, 3)).astype(np.float32)
+    R = random_rotation(rng, 10.0)
+    b = (a @ R.T + rng.uniform(-3, 3, 3)).astype(np.float32)
+    cfg = RegistrationConfig(
+        pairwise=PairwiseParameters(model="rigid", max_points=64,
+                                    ratio_of_distance=1e9),  # GH can't pass
+        fallback_method="rgldm")
+    res = register_views(None, cfg, points=[a, b])
+    assert res.global_result is not None
+    assert res.pair_results[(0, 1)].valid
