@@ -114,9 +114,15 @@ def cmd_detect(args):
     cfg = _load_config(args)
     detect_beads_dataset(ds, label=cfg.label, params=cfg.detection)
     save_dataset(ds, args.xml)
+    counts = {}
     for vid in sorted(ds.views):
         ips = ds.views[vid].interest_points.get(cfg.label)
-        print(f"view {vid}: {0 if ips is None else len(ips.points)} points")
+        counts[str(vid)] = 0 if ips is None else len(ips.points)
+        print(f"view {vid}: {counts[str(vid)]} points")
+    from spim_registration_tpu.utils.manifest import write_manifest
+
+    write_manifest(ds.base_path, "detect", cfg.detection,
+                   {"points_per_view": counts})
 
 
 def cmd_register(args):
@@ -146,6 +152,20 @@ def cmd_register(args):
             vd.set_transform("registration", res.models[v])
         print(f"tp {tp}: residual mean={res.mean_error:.4f} "
               f"max={res.max_error:.4f} px")
+        from spim_registration_tpu.utils.manifest import write_manifest
+
+        write_manifest(ds.base_path, "register", rc, {
+            "timepoint": tp,
+            "mean_error_px": res.mean_error,
+            "max_error_px": res.max_error,
+            "pairs": {f"{i}-{j}": {
+                "candidates": r.num_candidates,
+                "inliers": r.num_inliers,
+                "valid": r.valid,
+                "mean_error_px": r.mean_error,
+            } for (i, j), r in res.pair_results.items()},
+            "timings_s": res.timings,
+        })
     save_dataset(ds, args.xml)
 
 

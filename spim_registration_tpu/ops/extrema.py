@@ -136,9 +136,13 @@ def subpixel_localize(dog: jnp.ndarray, coords: jnp.ndarray,
         # volume at c (since pad=1 shifts by +1 and neighborhood starts at
         # c-1 -> padded index c). Keep everything in original index space
         # and slice padded at (c[0], c[1], c[2]).
+        # NOTE: initial carry components derive from c0 so their sharding
+        # "varying" axes match the body outputs under shard_map.
+        val0 = dog[c0[0], c0[1], c0[2]]
+        off0 = jnp.zeros(3, dog.dtype) + 0.0 * val0
+        moved0 = c0[0] >= jnp.int32(-1)  # always True, input-derived
         it, c, off, val, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), c0, jnp.zeros(3, dog.dtype),
-                         dog[c0[0], c0[1], c0[2]], jnp.bool_(True))
+            cond, body, (jnp.int32(0), c0, off0, val0, moved0)
         )
         pos = c.astype(dog.dtype) + off
         ok = ok0 & jnp.all(jnp.abs(off) < 1.0) & jnp.all(

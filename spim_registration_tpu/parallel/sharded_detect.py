@@ -1,0 +1,110 @@
+"""Fully sharded DoG interest-point detection.
+
+The multi-chip detection path (SURVEY.md section 7 step 4): the volume is
+z-sharded; each shard computes the DoG on an extended block (conv halo +
+a refinement margin via one `ppermute` exchange), finds extrema it OWNS,
+and refines them sub-pixel locally — no shard ever sees the full volume.
+Host-side, the per-shard peak lists concatenate and a global top-k caps
+the result, matching the single-device `detect_beads` output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spim_registration_tpu.detect.dog import DoGParameters
+from spim_registration_tpu.ops.extrema import find_peaks, subpixel_localize
+from spim_registration_tpu.ops.gaussian import (
+    conv_axis_valid,
+    gaussian_kernel_1d,
+    mirror_pad,
+)
+from spim_registration_tpu.ops.downsample import upscale_coords
+from spim_registration_tpu.ops.gaussian import dog_sigmas
+from spim_registration_tpu.parallel.halo import halo_exchange_z
+from spim_registration_tpu.parallel.sharded import shard_map
+
+
+# margin so the iterative subpixel walk (<= max_iterations steps) stays
+# inside the extended block
+_REFINE_MARGIN = 6
+
+
+def sharded_detect_beads(vol, params: DoGParameters, mesh: Mesh,
+                         axis_name: str = "z",
+                         max_peaks_per_shard: int = 2048):
+    """Detect beads on a z-sharded volume; returns (points, responses)
+    like `detect_beads` (host-compacted, full-res coords)."""
+    if params.downsample_xy != 1 or params.downsample_z != 1:
+        raise NotImplementedError(
+            "sharded detection with downsampling: downsample first, "
+            "then detect (ops.downsample is shardable)")
+    Z, Y, X = vol.shape
+    nz = mesh.shape[axis_name]
+    if Z % nz:
+        raise ValueError(f"z={Z} not divisible by mesh axis {nz}")
+    zl = Z // nz
+
+    v = jnp.asarray(vol, jnp.float32)
+    if params.normalize:
+        lo = jnp.min(v)
+        hi = jnp.max(v)
+        v = (v - lo) / jnp.maximum(hi - lo, 1e-12)
+
+    s1, s2, norm = dog_sigmas(params.sigma, params.threshold,
+                              steps_per_octave=params.steps_per_octave)
+    k1 = [jnp.asarray(gaussian_kernel_1d(float(s))) for s in (s1,) * 3]
+    k2 = [jnp.asarray(gaussian_kernel_1d(float(s))) for s in (s2,) * 3]
+    r = (k2[0].shape[0] - 1) // 2   # larger kernel radius
+    m = _REFINE_MARGIN
+    h = r + m
+
+    def local_blur(xp, ks):
+        # trim excess z-halo so the valid conv lands exactly on (zl + 2m)
+        rk = (ks[0].shape[0] - 1) // 2
+        trim = h - m - rk
+        out = conv_axis_valid(xp[trim:xp.shape[0] - trim], ks[0], 0)
+        out = conv_axis_valid(mirror_pad(out, (ks[1].shape[0] - 1) // 2, 1),
+                              ks[1], 1)
+        out = conv_axis_valid(mirror_pad(out, (ks[2].shape[0] - 1) // 2, 2),
+                              ks[2], 2)
+        return out
+
+    def f(x):
+        idx = jax.lax.axis_index(axis_name)
+        xp = halo_exchange_z(x, h, axis_name)  # (zl + 2h, Y, X)
+        g1 = local_blur(xp, k1)
+        g2 = local_blur(xp, k2)
+        dog = (g1 - g2) * jnp.float32(norm)  # (zl + 2m, Y, X)
+
+        coords, resp, valid = find_peaks(
+            dog, params.threshold, max_peaks_per_shard, params.find_minima)
+        z0 = idx * zl
+        gz = coords[:, 0] + z0 - m
+        own = (coords[:, 0] >= m) & (coords[:, 0] < m + zl) \
+            & (gz >= 1) & (gz <= Z - 2)
+        valid = valid & own
+        pos, val, ok = subpixel_localize(dog, coords, valid)
+        pos = pos.at[:, 0].add(jnp.float32(z0 - m))
+        # global-z bound check after the refinement walk
+        ok = ok & (pos[:, 0] >= 0) & (pos[:, 0] <= Z - 1)
+        return pos, val, ok
+
+    run = jax.jit(shard_map(f, mesh, in_specs=P(axis_name),
+                            out_specs=(P(axis_name), P(axis_name),
+                                       P(axis_name))))
+    v = jax.device_put(v, NamedSharding(mesh, P(axis_name)))
+    pos, val, ok = run(v)
+    pos = np.asarray(pos)
+    val = np.asarray(val)
+    ok = np.asarray(ok)
+    pos, val = pos[ok], val[ok]
+    if len(val) > params.max_peaks:
+        keep = np.argsort(-np.abs(val))[: params.max_peaks]
+        pos, val = pos[keep], val[keep]
+    return pos, val

@@ -139,3 +139,30 @@ def test_sharded_view_axis_requires_parallel(rng):
         sharded_deconvolve(prep,
                            DeconvolutionParameters(scheme="sequential"),
                            mesh2, view_axis="view")
+
+
+def test_sharded_detection_matches_single(mesh, rng):
+    """Sharded detect must find the same beads as the single-device path,
+    including beads sitting ON shard seams."""
+    from spim_registration_tpu.detect import DoGParameters, detect_beads
+    from spim_registration_tpu.parallel.sharded_detect import (
+        sharded_detect_beads,
+    )
+
+    # beads deliberately placed near the z=8,16,... seams of an 8-way split
+    seam_pts = np.array([[8.0 * k + off, 20.0 + k, 20.0 - k]
+                         for k in range(1, 8)
+                         for off in (-0.4, 0.3)])
+    rand_pts = rng.uniform(6, 58, size=(20, 3))
+    pts = np.concatenate([seam_pts, rand_pts])
+    vol = render_beads(pts, (64, 40, 40), sigma=1.6)
+    vol += rng.normal(0, 0.005, vol.shape).astype(np.float32)
+
+    params = DoGParameters(sigma=1.8, threshold=0.01)
+    ref_pts, ref_val = detect_beads(vol, params)
+    got_pts, got_val = sharded_detect_beads(vol, params, mesh)
+
+    assert len(got_pts) == len(ref_pts), (len(got_pts), len(ref_pts))
+    # same peak set (order may differ)
+    d = np.linalg.norm(ref_pts[:, None] - got_pts[None], axis=-1)
+    assert d.min(axis=1).max() < 0.05
