@@ -138,6 +138,14 @@ def cmd_register(args):
                             global_opt=cfg.global_opt)
     for tp in ds.timepoints():
         views = ds.views_of_timepoint(tp)
+        if getattr(args, "channel", None) is not None:
+            # per-channel registration (the reference GUI's "process
+            # channels separately" mode)
+            views = [v for v in views if v.channel == args.channel]
+            if not views:
+                print(f"tp {tp}: no views with channel {args.channel}",
+                      file=sys.stderr)
+                continue
         pts = []
         have_pts = all(cfg.label in v.interest_points for v in views)
         vols = None
@@ -284,6 +292,10 @@ def main(argv=None):
     for name, fn in (("detect", cmd_detect), ("register", cmd_register)):
         sp = sub.add_parser(name)
         sp.add_argument("xml")
+        if name == "register":
+            sp.add_argument("--channel", type=int, default=None,
+                            help="register only this channel "
+                                 "(default: all views together)")
         common(sp)
         sp.set_defaults(fn=fn)
 
@@ -311,7 +323,11 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
-    return args.fn(args) or 0
+    try:
+        return args.fn(args) or 0
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":
