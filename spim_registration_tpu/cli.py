@@ -36,8 +36,19 @@ def _dataset_with_loader(xml_path: str):
     ds = load_dataset(xml_path)
     base = ds.base_path
     h5 = os.path.join(base, "data.h5")
+    czis = [f for f in os.listdir(base) if f.endswith(".czi")]
     if os.path.exists(h5):
         ds.loader = hdf5_loader(h5)
+    elif czis:
+        from spim_registration_tpu.core.czi import czi_loader
+
+        ds.loader = czi_loader(os.path.join(base, sorted(czis)[0]))
+    elif any("_MMStack_Pos" in f for f in os.listdir(base)):
+        from spim_registration_tpu.core.micromanager import (
+            micromanager_loader,
+        )
+
+        ds.loader = micromanager_loader(base)
     elif any(f.endswith(".npy") for f in os.listdir(base)):
         ds.loader = npy_loader(base)
     else:
@@ -64,13 +75,51 @@ def _load_config(args):
     return apply_overrides(cfg, overrides) if overrides else cfg
 
 
+def _detect_format(base_path: str, fmt: str) -> str:
+    if fmt != "auto":
+        return fmt
+    import glob
+
+    if base_path.endswith(".czi") or glob.glob(
+            os.path.join(base_path, "*.czi")):
+        return "czi"
+    if glob.glob(os.path.join(base_path, "*_MMStack_Pos*.tif*")):
+        return "micromanager"
+    return "pattern"
+
+
 def cmd_define(args):
-    from spim_registration_tpu.core.define import define_dataset
     from spim_registration_tpu.core.xml_io import save_dataset
 
-    ds = define_dataset(args.base_path, args.pattern,
-                        voxel_size=tuple(args.voxel_size))
-    xml = os.path.join(args.base_path, "dataset.xml")
+    fmt = _detect_format(args.base_path, args.format)
+    if fmt == "czi":
+        import glob
+
+        from spim_registration_tpu.core.czi import define_dataset_czi
+
+        path = args.base_path if args.base_path.endswith(".czi") \
+            else sorted(glob.glob(os.path.join(args.base_path, "*.czi")))[0]
+        ds = define_dataset_czi(path)
+        base = os.path.dirname(os.path.abspath(path))
+    elif fmt == "micromanager":
+        from spim_registration_tpu.core.micromanager import (
+            define_dataset_micromanager,
+        )
+
+        ds = define_dataset_micromanager(args.base_path)
+        base = args.base_path
+    elif fmt == "dhm":
+        from spim_registration_tpu.core.dhm import define_dataset_dhm
+
+        ds = define_dataset_dhm(args.base_path)
+        base = args.base_path
+    else:
+        from spim_registration_tpu.core.define import define_dataset
+
+        ds = define_dataset(args.base_path, args.pattern,
+                            voxel_size=tuple(args.voxel_size))
+        base = args.base_path
+    xml = os.path.join(base, "dataset.xml")
     save_dataset(ds, xml)
     print(f"defined {len(ds.views)} views "
           f"({len(ds.timepoints())} tp x {len(ds.setups())} setups) "
@@ -272,7 +321,12 @@ def main(argv=None):
     sp = sub.add_parser("define",
                         help="define a dataset from files on disk")
     sp.add_argument("base_path")
-    sp.add_argument("--pattern", default="tp{tp}_setup{setup}.npy")
+    sp.add_argument("--pattern", default="tp{tp}_setup{setup}.npy",
+                    help="filename pattern with {tp} and {setup} or "
+                         "{angle}/{channel}/{illum}/{tile} placeholders")
+    sp.add_argument("--format", default="auto",
+                    choices=["auto", "pattern", "czi", "micromanager",
+                             "dhm"])
     sp.add_argument("--voxel-size", type=float, nargs=3,
                     default=[1.0, 1.0, 1.0], metavar=("Z", "Y", "X"))
     sp.set_defaults(fn=cmd_define)
