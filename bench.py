@@ -5,7 +5,11 @@ Prints ONE JSON line:
 
 Metric: RL voxel-updates/s = Z*Y*X * n_views * n_iterations / wall_time
 for the efficient-Bayesian multi-view RL engine (the framework's hottest
-path; BASELINE config #4).
+path; BASELINE config #4), run with the MXU-native separable low-rank
+conv backend (`conv_backend="separable"`, ops/separable.py). The exact
+FFT engine is run too and the two outputs are verified to agree
+(nrmse < 1e-3) before the separable number is reported; both appear on
+stderr.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the 2014 paper
 reports minutes-scale per iteration on multicore CPU for ~1e9-voxel 7-view
@@ -34,7 +38,7 @@ import os
 SHAPE = tuple(int(s) for s in os.environ.get(
     "SPIM_BENCH_SHAPE", "128,128,128").split(","))
 N_VIEWS = int(os.environ.get("SPIM_BENCH_VIEWS", "4"))
-N_ITER = int(os.environ.get("SPIM_BENCH_ITERS", "5"))
+N_ITER = int(os.environ.get("SPIM_BENCH_ITERS", "20"))
 
 
 def log(msg):
@@ -81,34 +85,46 @@ def main():
 
     import jax.numpy as jnp
 
-    params = DeconvolutionParameters(num_iterations=N_ITER,
-                                     psf_type="efficient_bayesian")
-    runner = DeconvolutionRunner(prep, params)  # stages inputs on device
+    outs, walls_by_backend = {}, {}
+    for backend in ("separable", "fft"):
+        params = DeconvolutionParameters(
+            num_iterations=N_ITER, psf_type="efficient_bayesian",
+            conv_backend=backend, psf_rank=3)
+        runner = DeconvolutionRunner(prep, params)  # inputs staged on device
 
-    def run_synced():
-        # NOTE: on the axon remote tunnel block_until_ready() does NOT
-        # actually wait for device completion; a scalar host readback is
-        # the only reliable fence. It adds ~27 ms dispatch+readback
-        # overhead, which we accept (conservative throughput).
-        out = runner.run()
-        s = float(jnp.sum(out))
-        return out, s
+        def run_synced():
+            # NOTE: on the axon remote tunnel block_until_ready() does NOT
+            # actually wait for device completion; a scalar host readback
+            # is the only reliable fence. It adds ~27 ms dispatch+readback
+            # overhead, which we accept (conservative throughput).
+            out = runner.run()
+            s = float(jnp.sum(out))
+            return out, s
 
-    t0 = time.time()
-    out, _s = run_synced()
-    compile_and_run = time.time() - t0
-    log(f"first run (incl compile): {compile_and_run:.1f}s")
-
-    walls = []
-    for _ in range(3):
         t0 = time.time()
         out, _s = run_synced()
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    log(f"steady-state run: {wall:.2f}s for {N_ITER} iterations x "
-        f"{N_VIEWS} views over {SHAPE}")
-    out = np.asarray(out)
-    assert np.all(np.isfinite(out))
+        log(f"{backend}: first run (incl compile): {time.time()-t0:.1f}s")
+
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out, _s = run_synced()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        log(f"{backend}: steady-state {wall:.3f}s for {N_ITER} iterations "
+            f"x {N_VIEWS} views over {SHAPE} -> "
+            f"{float(np.prod(SHAPE)) * N_VIEWS * N_ITER / wall:.3e} "
+            "voxel-updates/s")
+        outs[backend] = np.asarray(out)
+        walls_by_backend[backend] = wall
+        assert np.all(np.isfinite(outs[backend]))
+
+    # the separable engine must reproduce the exact-FFT engine's output
+    a, b = outs["fft"], outs["separable"]
+    nrmse = float(np.sqrt(np.mean((a - b) ** 2)) / (a.max() - a.min()))
+    log(f"separable-vs-fft nrmse: {nrmse:.2e}")
+    assert nrmse < 1e-3, nrmse
+    wall = walls_by_backend["separable"]
 
     voxel_updates = float(np.prod(SHAPE)) * N_VIEWS * N_ITER
     value = voxel_updates / wall

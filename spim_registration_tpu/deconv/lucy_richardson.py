@@ -69,10 +69,39 @@ class DeconvolutionParameters:
     # 1 + sum_v w_v (conv2_v - 1); converges per-iteration like
     # unaccelerated MV-RL but runs wider.
     scheme: str = "sequential"
+    # "fft": exact frequency-domain convolution (reference semantics).
+    # "separable": rank-`psf_rank` CP approximation of each kernel,
+    # convolved as banded matmuls on the MXU (ops/separable.py) — much
+    # faster when the PSFs are near-separable (measured bead PSFs are);
+    # raises if the approximation error exceeds `psf_rank_max_error`.
+    conv_backend: str = "fft"
+    psf_rank: int = 3
+    psf_rank_max_error: float = 0.05
 
 
 def _mirror(k: np.ndarray) -> np.ndarray:
     return k[::-1, ::-1, ::-1].copy()
+
+
+def _stack_factor_banks(kernels: Sequence[np.ndarray], rank: int,
+                        max_error: float):
+    """Per-view CP factor banks (az, ay, ax), padded to common tap counts
+    with zeros (centered) so they stack along the view axis."""
+    from spim_registration_tpu.ops.separable import decompose_for_rl
+
+    banks = [decompose_for_rl(np.asarray(k, np.float64), rank, max_error)
+             for k in kernels]
+    out = []
+    for d in range(3):
+        taps = max(b[d].shape[1] for b in banks)
+        padded = []
+        for b in banks:
+            arr = b[d]
+            pad = taps - arr.shape[1]
+            lo = pad // 2
+            padded.append(np.pad(arr, ((0, 0), (lo, pad - lo))))
+        out.append(jnp.asarray(np.stack(padded), jnp.float32))
+    return tuple(out)
 
 
 def _np_conv_same(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -124,15 +153,29 @@ def compound_kernels(psfs: Sequence[np.ndarray], psf_type: PSFType
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "fft_shape",
-                                   "img_shape", "scheme"))
+                                   "img_shape", "scheme", "conv_backend"))
 def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
                 min_value, num_iterations, fft_shape, img_shape,
-                scheme="sequential"):
-    """The whole deconvolution as one XLA program."""
+                scheme="sequential", conv_backend="fft"):
+    """The whole deconvolution as one XLA program.
 
-    def conv(x, kfft):
-        return fft_convolve(x, None, kernel_fft=kfft, fft_shape=fft_shape,
-                            boundary="mirror")
+    k1_ffts / k2_ffts: per-view kernels with leading view axis — stacked
+    spectra for the fft backend, (az, ay, ax) factor-bank tuples for the
+    separable backend (lax.scan carries either pytree).
+    """
+
+    if conv_backend == "separable":
+        from spim_registration_tpu.ops.separable import (
+            conv_separable_lowrank,
+        )
+
+        def conv(x, k):
+            az, ay, ax = k
+            return conv_separable_lowrank(x, az, ay, ax)
+    else:
+        def conv(x, kfft):
+            return fft_convolve(x, None, kernel_fft=kfft,
+                                fft_shape=fft_shape, boundary="mirror")
 
     def view_quotient_conv(psi, img, w, k1f, k2f):
         conv1 = conv(psi, k1f)
@@ -186,16 +229,26 @@ class DeconvolutionRunner:
         self.img_shape = tuple(self.images.shape[1:])
 
         k2s = compound_kernels(prep.psfs, params.psf_type)
-        max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
-                          max(k.shape[d] for k in k2s)) for d in range(3))
-        self.fft_shape = pad_shape_for(self.img_shape, max_k)
+        if params.conv_backend == "separable":
+            self.fft_shape = None
+            self.k1_ffts = _stack_factor_banks(
+                prep.psfs, params.psf_rank, params.psf_rank_max_error)
+            self.k2_ffts = _stack_factor_banks(
+                k2s, params.psf_rank, params.psf_rank_max_error)
+        else:
+            max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
+                              max(k.shape[d] for k in k2s))
+                          for d in range(3))
+            self.fft_shape = pad_shape_for(self.img_shape, max_k)
 
-        self.k1_ffts = jnp.stack([
-            prepare_kernel_fft(jnp.asarray(p, jnp.float32), self.fft_shape)
-            for p in prep.psfs])
-        self.k2_ffts = jnp.stack([
-            prepare_kernel_fft(jnp.asarray(k, jnp.float32), self.fft_shape)
-            for k in k2s])
+            self.k1_ffts = jnp.stack([
+                prepare_kernel_fft(jnp.asarray(p, jnp.float32),
+                                   self.fft_shape)
+                for p in prep.psfs])
+            self.k2_ffts = jnp.stack([
+                prepare_kernel_fft(jnp.asarray(k, jnp.float32),
+                                   self.fft_shape)
+                for k in k2s])
 
         wsum = self.weights.sum(axis=0)
         avg = float(jnp.sum(self.images * self.weights)
@@ -224,7 +277,8 @@ class DeconvolutionRunner:
             None if self.lam is None else jnp.float32(self.lam),
             jnp.float32(self.params.min_value * self.avg),
             n, self.fft_shape, self.img_shape,
-            scheme=self.params.scheme)
+            scheme=self.params.scheme,
+            conv_backend=self.params.conv_backend)
 
     def run_checkpointed(self, checkpoint_every: int,
                          checkpoint_fn=None,

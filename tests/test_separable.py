@@ -1,0 +1,98 @@
+"""Low-rank separable convolution backend (ops/separable.py) and its use
+in the RL deconvolution engine."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spim_registration_tpu.core.dataset import BoundingBox
+from spim_registration_tpu.deconv import (
+    DeconvolutionParameters,
+    deconvolve,
+    gaussian_psf,
+    prepare_views_for_deconvolution,
+)
+from spim_registration_tpu.ops.fftconv import direct_convolve_np
+from spim_registration_tpu.ops.separable import (
+    conv_separable_lowrank,
+    decompose_for_rl,
+    lowrank_decompose,
+)
+
+from synth import render_beads
+
+
+def test_gaussian_is_rank_one():
+    psf = gaussian_psf((13, 13, 13), (2.5, 1.0, 1.6))
+    az, ay, ax, err = lowrank_decompose(psf, rank=1)
+    assert err < 1e-6
+    recon = np.einsum("rz,ry,rx->zyx", az, ay, ax)
+    np.testing.assert_allclose(recon, psf, atol=1e-7)
+
+
+def test_rank_grows_accuracy(rng):
+    # a sum of two different anisotropic Gaussians is rank 2
+    k = gaussian_psf((11, 11, 11), (2.0, 1.0, 1.0)) \
+        + gaussian_psf((11, 11, 11), (1.0, 1.0, 2.0))
+    k /= k.sum()
+    _, _, _, e1 = lowrank_decompose(k, rank=1)
+    _, _, _, e2 = lowrank_decompose(k, rank=2)
+    assert e2 < 1e-5 < e1
+
+
+def test_conv_matches_direct(rng):
+    vol = rng.random((24, 20, 28)).astype(np.float32)
+    k = gaussian_psf((9, 9, 9), (1.5, 1.0, 2.0)) \
+        + 0.3 * gaussian_psf((9, 9, 9), (1.0, 2.0, 1.0))
+    k = (k / k.sum()).astype(np.float32)
+    az, ay, ax, err = lowrank_decompose(k, rank=2)
+    # CP-ALS converges slowly on collinear Gaussian factors ("swamp");
+    # 1e-3 relative is ample for RL kernels
+    assert err < 1e-3, err
+    got = np.asarray(conv_separable_lowrank(
+        jnp.asarray(vol), jnp.asarray(az), jnp.asarray(ay),
+        jnp.asarray(ax)))
+    # the conv op itself is exact for the reconstructed kernel:
+    # mirror-boundary reference = numpy reflect pad + direct conv
+    recon = np.einsum("rz,ry,rx->zyx", az, ay, ax)
+    r = 4
+    volp = np.pad(vol, r, mode="reflect")
+    want = direct_convolve_np(volp, recon)[r:-r, r:-r, r:-r]
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and close to the original kernel's conv
+    want_k = direct_convolve_np(volp, k)[r:-r, r:-r, r:-r]
+    assert np.max(np.abs(got - want_k)) < 1e-3
+
+
+def test_decompose_for_rl_rejects_high_rank(rng):
+    k = rng.random((9, 9, 9)).astype(np.float64)
+    k /= k.sum()
+    with pytest.raises(ValueError, match="too lossy"):
+        decompose_for_rl(k, rank=1, max_error=0.01)
+
+
+def test_rl_separable_matches_fft(rng):
+    """Separable-backend RL deconvolution ~= FFT-backend on Gaussian PSFs
+    (which the low-rank form represents exactly)."""
+    shape = (40, 40, 40)
+    pts = rng.uniform(10, shape[0] - 10, size=(20, 3))
+    truth = render_beads(pts, shape, sigma=1.2)
+    psf_a = gaussian_psf((11, 11, 11), (2.5, 1.0, 1.0))
+    psf_b = gaussian_psf((11, 11, 11), (1.0, 1.0, 2.5))
+    views = [direct_convolve_np(truth, p).astype(np.float32)
+             for p in (psf_a, psf_b)]
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    bbox = BoundingBox("b", (0, 0, 0), shape)
+    prep = prepare_views_for_deconvolution(views, [ident, ident],
+                                           [psf_a, psf_b], bbox)
+    out_f = deconvolve(prep, DeconvolutionParameters(
+        num_iterations=8, conv_backend="fft"))
+    out_s = deconvolve(prep, DeconvolutionParameters(
+        num_iterations=8, conv_backend="separable", psf_rank=3))
+
+    def nrmse(a, b):
+        return np.sqrt(np.mean((a - b) ** 2)) / (b.max() - b.min())
+
+    # both reconstruct the truth; the two backends agree closely
+    assert nrmse(out_s, truth) < nrmse(np.mean(views, axis=0), truth)
+    assert nrmse(out_s, out_f) < 0.02, nrmse(out_s, out_f)
