@@ -99,3 +99,48 @@ def assemble_normal_equations(model: str, n_free: int,
     g = g.at[ri].add(gi, mode="drop")
     g = g.at[rj].add(-gj, mode="drop")
     return H, g
+
+
+def assemble_normal_equations_sharded(mesh, axis: str, model: str,
+                                      n_free: int, pc, qc, w,
+                                      col_i, col_j):
+    """Multi-chip assembly: correspondences sharded over `axis`, per-shard
+    dense assembly, `psum` reduction over ICI.
+
+    The distributed-BA reduction of SURVEY.md section 2.11: each device
+    assembles the normal equations of its correspondence shard (rows must
+    be padded to a multiple of the axis size with w=0 rows) and the
+    (dim, dim) H / (dim,) g are summed across the mesh. Inputs are host
+    arrays; outputs are replicated device arrays.
+    """
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    N = pc.shape[0]
+    pad = (-N) % n_dev
+
+    def _pad(a, fill=0):
+        if pad == 0:
+            return np.asarray(a)
+        widths = ((0, pad),) + ((0, 0),) * (np.ndim(a) - 1)
+        return np.pad(np.asarray(a), widths, constant_values=fill)
+
+    pcp = jnp.asarray(_pad(pc), jnp.float32)
+    qcp = jnp.asarray(_pad(qc), jnp.float32)
+    wp = jnp.asarray(_pad(w), jnp.float32)          # pad weight 0 -> no-op
+    cip = jnp.asarray(_pad(col_i, fill=-1), jnp.int32)
+    cjp = jnp.asarray(_pad(col_j, fill=-1), jnp.int32)
+
+    spec = P(axis)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec, spec, spec, spec, spec),
+             out_specs=(P(), P()))
+    def _shard(pc_s, qc_s, w_s, ci_s, cj_s):
+        H, g = assemble_normal_equations(model, n_free, pc_s, qc_s, w_s,
+                                         ci_s, cj_s)
+        return (jax.lax.psum(H, axis), jax.lax.psum(g, axis))
+
+    return _shard(pcp, qcp, wp, cip, cjp)

@@ -166,3 +166,36 @@ def test_sharded_detection_matches_single(mesh, rng):
     # same peak set (order may differ)
     d = np.linalg.norm(ref_pts[:, None] - got_pts[None], axis=-1)
     assert d.min(axis=1).max() < 0.05
+
+
+def test_sharded_normal_equation_assembly(rng):
+    """Correspondence shards assembled per-device and psum-reduced match
+    single-device assembly (the distributed-BA reduction)."""
+    import jax.numpy as jnp
+
+    from spim_registration_tpu.parallel.mesh import make_mesh
+    from spim_registration_tpu.solve.assembly import (
+        assemble_normal_equations,
+        assemble_normal_equations_sharded,
+    )
+
+    N, n_free = 1003, 3  # deliberately not a multiple of 8
+    pc = rng.normal(size=(N, 3))
+    qc = pc + rng.normal(scale=0.1, size=(N, 3))
+    w = rng.uniform(0.5, 1.0, N)
+    col_i = rng.integers(-1, n_free, N)
+    col_j = rng.integers(-1, n_free, N)
+
+    H0, g0 = assemble_normal_equations(
+        "affine", n_free, jnp.asarray(pc, jnp.float32),
+        jnp.asarray(qc, jnp.float32), jnp.asarray(w, jnp.float32),
+        jnp.asarray(col_i, jnp.int32), jnp.asarray(col_j, jnp.int32))
+
+    mesh = make_mesh(("corr",))
+    H, g = assemble_normal_equations_sharded(
+        mesh, "corr", "affine", n_free, pc, qc, w, col_i, col_j)
+
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                               rtol=1e-4, atol=1e-4)
