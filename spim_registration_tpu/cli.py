@@ -282,6 +282,56 @@ def cmd_deconvolve(args):
         print(f"tp {tp}: deconvolved {out.shape} -> {path}")
 
 
+def cmd_cluster_job(args):
+    """One per-timepoint cluster job: detect + register that timepoint,
+    write job_tp<N>.xml (Toggle_Cluster_Options / per-job XML analog)."""
+    from spim_registration_tpu.detect.dog import detect_beads_dataset
+    from spim_registration_tpu.pipeline.cluster import run_job
+    from spim_registration_tpu.pipeline.run import (
+        RegistrationConfig,
+        register_views,
+    )
+
+    cfg = _load_config(args)
+    stages = args.stages.split(",")
+
+    def process(ds, tp):
+        ds.loader = _dataset_with_loader(args.xml).loader
+        vids = [v.view_id for v in ds.views_of_timepoint(tp)]
+        if "detect" in stages:
+            detect_beads_dataset(ds, view_ids=vids, label=cfg.label,
+                                 params=cfg.detection)
+        if "register" in stages:
+            views = ds.views_of_timepoint(tp)
+            pts = [np.asarray(v.interest_points[cfg.label].points)
+                   for v in views]
+            rc = RegistrationConfig(detection=cfg.detection,
+                                    pairwise=cfg.pairwise,
+                                    global_opt=cfg.global_opt)
+            res = register_views(None, rc, points=pts)
+            for v, vd in enumerate(views):
+                vd.set_transform("registration", res.models[v])
+            print(f"tp {tp}: residual mean={res.mean_error:.4f} px")
+
+    out = run_job(args.xml, args.tp, process, out_xml=args.out)
+    print(f"job tp={args.tp} -> {out}")
+
+
+def cmd_cluster_merge(args):
+    from spim_registration_tpu.pipeline.cluster import (
+        find_job_xmls,
+        merge_cluster_jobs,
+    )
+
+    jobs = args.jobs or find_job_xmls(os.path.dirname(
+        os.path.abspath(args.xml)))
+    if not jobs:
+        print("no job XMLs found", file=sys.stderr)
+        return 1
+    merge_cluster_jobs(args.xml, jobs, out_xml=args.out)
+    print(f"merged {len(jobs)} jobs into {args.out or args.xml}")
+
+
 def cmd_resave(args):
     from spim_registration_tpu.core.resave import resave_hdf5
     from spim_registration_tpu.core.xml_io import save_dataset
@@ -317,6 +367,11 @@ def main(argv=None):
         sp.add_argument("--set", action="append", metavar="KEY=VAL",
                         help="dotted config override, e.g. "
                              "detection.sigma=2.0")
+        sp.add_argument("--profile", metavar="DIR",
+                        help="write a jax.profiler trace of this stage")
+        sp.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed from "
+                             "COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID")
 
     sp = sub.add_parser("define",
                         help="define a dataset from files on disk")
@@ -365,6 +420,22 @@ def main(argv=None):
     common(sp)
     sp.set_defaults(fn=cmd_deconvolve)
 
+    sp = sub.add_parser("cluster-job",
+                        help="run one per-timepoint job (detect+register)")
+    sp.add_argument("xml")
+    sp.add_argument("--tp", type=int, required=True)
+    sp.add_argument("--stages", default="detect,register")
+    sp.add_argument("--out", help="job XML path (default job_tp<N>.xml)")
+    common(sp)
+    sp.set_defaults(fn=cmd_cluster_job)
+
+    sp = sub.add_parser("cluster-merge",
+                        help="fold job XMLs back into the master XML")
+    sp.add_argument("xml")
+    sp.add_argument("jobs", nargs="*")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_cluster_merge)
+
     sp = sub.add_parser("resave")
     sp.add_argument("xml")
     sp.add_argument("--h5")
@@ -377,11 +448,24 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    if getattr(args, "multihost", False):
+        from spim_registration_tpu.parallel.multihost import (
+            initialize_multihost,
+        )
+
+        initialize_multihost()
     try:
+        if getattr(args, "profile", None):
+            from spim_registration_tpu.utils.profiling import xla_trace
+
+            with xla_trace(args.profile):
+                return args.fn(args) or 0
         return args.fn(args) or 0
     except (FileNotFoundError, KeyError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    except BrokenPipeError:  # stdout closed early (e.g. piped to head)
+        return 0
 
 
 if __name__ == "__main__":

@@ -217,8 +217,21 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         out[tuple(sl_dst)] = k[tuple(sl_src)]
         return out / max(out.sum(), 1e-12)
 
-    k1 = jnp.asarray(np.stack([_fit(np.asarray(p)) for p in prep.psfs]))
-    k2 = jnp.asarray(np.stack([_fit(k) for k in k2s]))
+    conv_backend = getattr(params, "conv_backend", "fft")
+    if conv_backend == "separable":
+        from spim_registration_tpu.deconv.lucy_richardson import (
+            _stack_factor_banks,
+        )
+
+        k1 = _stack_factor_banks(
+            [_fit(np.asarray(p)) for p in prep.psfs], params.psf_rank,
+            params.psf_rank_max_error)
+        k2 = _stack_factor_banks(
+            [_fit(k) for k in k2s], params.psf_rank,
+            params.psf_rank_max_error)
+    else:
+        k1 = jnp.asarray(np.stack([_fit(np.asarray(p)) for p in prep.psfs]))
+        k2 = jnp.asarray(np.stack([_fit(k) for k in k2s]))
 
     h = kshape[0] // 2
     ry, rx = kshape[1] // 2, kshape[2] // 2
@@ -248,14 +261,39 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         raise ValueError("view-axis sharding requires scheme='parallel' "
                          "(sequential OSEM is inherently view-serial)")
 
+    def local_conv_sep(x, bank):
+        """Sum-of-separable conv on a z-shard: z pass consumes exchanged
+        halo rows, y/x passes mirror-pad locally."""
+        az, ay, ax = bank  # (R, taps) each
+        hz = (az.shape[-1] - 1) // 2
+        xp = halo_exchange_z(x, hz, axis_name)
+
+        def one_term(kz, ky, kx):
+            out = conv_axis_valid(xp, kz, 0) if hz > 0 else xp * kz[0]
+            for ax_i, k in ((1, ky), (2, kx)):
+                r = (k.shape[0] - 1) // 2
+                out = conv_axis_valid(mirror_pad(out, r, ax_i), k, ax_i) \
+                    if r > 0 else out * k[0]
+            return out
+
+        return jnp.sum(jax.vmap(one_term)(az, ay, ax), axis=0)
+
     def f(psi, imgs, ws, k1_, k2_):
-        k1f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k1_)
-        k2f = jax.vmap(lambda k: _prepare_local_kernel_fft(k, fshape))(k2_)
+        if conv_backend == "separable":
+            k1f, k2f = k1_, k2_
+        else:
+            k1f = jax.vmap(
+                lambda k: _prepare_local_kernel_fft(k, fshape))(k1_)
+            k2f = jax.vmap(
+                lambda k: _prepare_local_kernel_fft(k, fshape))(k2_)
+
+        _conv = (local_conv_sep if conv_backend == "separable"
+                 else local_conv)
 
         def quotient_conv(p, img, a, b):
-            conv1 = local_conv(p, a)
+            conv1 = _conv(p, a)
             q = jnp.clip(img / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
-            return local_conv(q, b)
+            return _conv(q, b)
 
         def regularize(p):
             if use_lam:
