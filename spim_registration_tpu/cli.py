@@ -37,8 +37,20 @@ def _dataset_with_loader(xml_path: str):
     base = ds.base_path
     h5 = os.path.join(base, "data.h5")
     czis = [f for f in os.listdir(base) if f.endswith(".czi")]
+    zarrs = [f for f in sorted(os.listdir(base))
+             if os.path.exists(os.path.join(base, f, "meta.json"))]
+    n5s = [f for f in sorted(os.listdir(base)) if f.endswith(".n5")
+           and os.path.isdir(os.path.join(base, f))]
     if os.path.exists(h5):
         ds.loader = hdf5_loader(h5)
+    elif zarrs:
+        from spim_registration_tpu.core.zarr_store import zarr_loader
+
+        ds.loader = zarr_loader(os.path.join(base, zarrs[0]))
+    elif n5s:
+        from spim_registration_tpu.core.zarr_store import n5_bdv_loader
+
+        ds.loader = n5_bdv_loader(os.path.join(base, n5s[0]))
     elif czis:
         from spim_registration_tpu.core.czi import czi_loader
 
@@ -333,14 +345,28 @@ def cmd_cluster_merge(args):
 
 
 def cmd_resave(args):
-    from spim_registration_tpu.core.resave import resave_hdf5
     from spim_registration_tpu.core.xml_io import save_dataset
 
     ds = _dataset_with_loader(args.xml)
-    h5 = args.h5 or os.path.join(ds.base_path, "data.h5")
-    resave_hdf5(ds, h5, max_levels=args.levels)
+    if args.format == "hdf5":
+        from spim_registration_tpu.core.resave import resave_hdf5
+
+        out = args.out or args.h5 or os.path.join(ds.base_path, "data.h5")
+        resave_hdf5(ds, out, max_levels=args.levels)
+    elif args.format == "zarr":
+        from spim_registration_tpu.core.zarr_store import resave_zarr
+
+        out = args.out or os.path.join(ds.base_path, "data.zarr")
+        resave_zarr(ds, out, max_levels=args.levels)
+    elif args.format == "n5":
+        from spim_registration_tpu.core.zarr_store import resave_n5_bdv
+
+        out = args.out or os.path.join(ds.base_path, "data.n5")
+        resave_n5_bdv(ds, out, max_levels=args.levels)
+    else:
+        raise SystemExit(f"unknown resave format {args.format!r}")
     save_dataset(ds, args.xml)
-    print(f"resaved to {h5}")
+    print(f"resaved to {out}")
 
 
 def cmd_info(args):
@@ -439,6 +465,9 @@ def main(argv=None):
     sp = sub.add_parser("resave")
     sp.add_argument("xml")
     sp.add_argument("--h5")
+    sp.add_argument("--out")
+    sp.add_argument("--format", default="hdf5",
+                    choices=("hdf5", "zarr", "n5"))
     sp.add_argument("--levels", type=int, default=4)
     sp.set_defaults(fn=cmd_resave)
 

@@ -153,7 +153,7 @@ def dog_pallas(vol: jnp.ndarray, sigma1, sigma2,
         kernel,
         out_shape=jax.ShapeDtypeStruct((Zc, Yc, X_out), jnp.float32),
         grid=(nz, ny),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((bz, by, X_out), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -114,8 +114,12 @@ def assemble_normal_equations_sharded(mesh, axis: str, model: str,
     arrays; outputs are replicated device arrays.
     """
     import numpy as np
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    try:  # JAX >= 0.7 new-style
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     n_dev = mesh.shape[axis]
     N = pc.shape[0]
