@@ -7,13 +7,23 @@ each contributing view, interpolate, weight (blending x content), and
 write sum(w*v)/sum(w).
 
 TPU-native design: the reference's per-voxel thread loop (`ImagePortion`s,
-P1) becomes one fused vectorized program per z-chunk of the output —
-coordinates, trilinear gathers, cosine blending, and accumulation all in a
-single XLA fusion. Views are accumulated sequentially on device (P2's
-analog; keeps peak memory at one view block). The z-chunk loop is the
-virtual/sequential processing seam: chunks can stream for
-larger-than-memory outputs, or shard over a mesh axis in the distributed
-path.
+P1) becomes ONE fused device program per output chunk that accumulates
+ALL views — coordinates, interpolation, cosine blending, accumulation and
+the final w-normalization in a single XLA fusion (one dispatch per chunk;
+dispatch+readback costs ~25 ms each on the TPU tunnel, so per-(chunk,view)
+programs dominate wall time at these sizes).
+
+Per-view interpolation routes at trace time on the CONCRETE world->view
+matrix:
+- axis-aligned (translation-model registration, calibration scaling,
+  downsampling): exact separable trilinear as three MXU matmuls
+  (`ops.resample.separable_resample`) with 1D-outer-product blending —
+  ~10x the gather path;
+- general affine: flat 1D 8-corner gather (`ops.resample.trilinear_sample`).
+
+The z-chunk loop is the virtual/sequential processing seam: chunks stream
+for larger-than-memory outputs, or shard over a mesh axis in the
+distributed path. Chunk size auto-scales to ~16M voxels unless pinned.
 """
 
 from __future__ import annotations
@@ -34,7 +44,14 @@ from spim_registration_tpu.fuse.weights import (
     content_based_weight,
 )
 from spim_registration_tpu.models.affine import apply_affine
-from spim_registration_tpu.ops.resample import output_grid_coords, trilinear_sample
+from spim_registration_tpu.ops.resample import (
+    is_axis_aligned,
+    output_grid_coords,
+    separable_resample,
+    trilinear_sample,
+)
+
+_AUTO_CHUNK_VOXELS = 1 << 24
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,8 +61,29 @@ class FusionParameters:
     blending: BlendingParameters = BlendingParameters()
     content: ContentBasedParameters = ContentBasedParameters()
     downsample: int = 1           # output downsampling factor
-    z_chunk: int = 64             # output z rows per device step
+    z_chunk: Optional[int] = None  # output z rows per device step (None=auto)
     interpolation: str = "linear"  # linear | nearest (reference GUI choice)
+
+
+def _ramp_1d(c, size, border, rng_, dtype):
+    dist = jnp.minimum(c, size - 1 - c) - border
+    rng_ = max(rng_, 1e-6)
+    frac = jnp.clip(dist / rng_, 0.0, 1.0)
+    ramp = 0.5 * (1.0 - jnp.cos(frac * jnp.pi))
+    return jnp.where(dist <= 0.0, jnp.zeros_like(ramp), ramp)
+
+
+def _blending_separable(scale, shift, chunk_shape, view_size,
+                        params: BlendingParameters, dtype=jnp.float32):
+    """Blending weight for an axis-aligned view map: the cosine ramp
+    separates into three 1D ramps whose outer product is exact."""
+    ws = []
+    for ax in range(3):
+        c = jnp.arange(chunk_shape[ax], dtype=dtype) * scale[ax] + shift[ax]
+        ws.append(_ramp_1d(c, view_size[ax], params.border[ax],
+                           params.blending_range[ax], dtype))
+    return (ws[0][:, None, None] * ws[1][None, :, None]
+            * ws[2][None, None, :])
 
 
 @partial(jax.jit, static_argnames=("view_size", "params", "chunk_shape",
@@ -79,6 +117,52 @@ def _accumulate_view_chunk(acc_v, acc_w, vol, weight_vol, world_to_view,
     return acc_v + w * vals, acc_w + w
 
 
+@partial(jax.jit, static_argnames=("specs", "params", "chunk_shape"))
+def _fuse_chunk(vols, cweights, invs, scales, shifts, chunk_offset,
+                specs, params: FusionParameters, chunk_shape):
+    """One device program: all views' contributions to one output chunk.
+
+    `specs` is a static tuple of (view_size, axis_aligned, has_content)
+    per view; `scales`/`shifts` hold the per-axis maps of aligned views
+    (unused rows for gather-path views).
+    """
+    nearest = params.interpolation == "nearest"
+    acc_v = jnp.zeros(chunk_shape, jnp.float32)
+    acc_w = jnp.zeros(chunk_shape, jnp.float32)
+    grid = None
+    for i, (view_size, aligned, has_content) in enumerate(specs):
+        if aligned:
+            sh = shifts[i] + scales[i] * chunk_offset
+            vals, inside = separable_resample(vols[i], scales[i], sh,
+                                              chunk_shape, nearest=nearest)
+            w = inside.astype(jnp.float32)
+            if params.use_blending:
+                w = w * _blending_separable(scales[i], sh, chunk_shape,
+                                            view_size, params.blending)
+            if params.use_content_based and has_content:
+                cw, _ = separable_resample(cweights[i], scales[i], sh,
+                                           chunk_shape)
+                w = w * cw
+        else:
+            if grid is None:
+                grid = output_grid_coords(chunk_shape, dtype=jnp.float32)
+            g = grid + chunk_offset[None, None, None, :]
+            vc = apply_affine(invs[i].astype(jnp.float32), g)
+            if nearest:
+                vals, inside = trilinear_sample(vols[i], jnp.round(vc))
+            else:
+                vals, inside = trilinear_sample(vols[i], vc)
+            w = inside.astype(jnp.float32)
+            if params.use_blending:
+                w = w * blending_weight(vc, view_size, params.blending)
+            if params.use_content_based and has_content:
+                cw, _ = trilinear_sample(cweights[i], vc)
+                w = w * cw
+        acc_v = acc_v + w * vals
+        acc_w = acc_w + w
+    return jnp.where(acc_w > 1e-9, acc_v / jnp.maximum(acc_w, 1e-9), 0.0)
+
+
 def fuse_views(
     volumes: Sequence[np.ndarray],
     models: Sequence[np.ndarray],
@@ -95,38 +179,42 @@ def fuse_views(
     if any(s == 0 for s in out_shape):
         raise ValueError(f"empty bounding box {bbox}")
 
-    content_vols = []
-    vols_j = []
-    invs = []
+    vols_j, cweights, invs_np = [], [], []
+    specs = []
     for vol, model in zip(volumes, models):
         v = jnp.asarray(vol, jnp.float32)
         vols_j.append(v)
-        if params.use_content_based:
-            content_vols.append(content_based_weight(v, params.content))
-        else:
-            content_vols.append(None)
+        has_content = params.use_content_based
+        cweights.append(content_based_weight(v, params.content)
+                        if has_content else jnp.zeros((1, 1, 1), jnp.float32))
         A4 = np.vstack([np.asarray(model, np.float64), [0, 0, 0, 1]])
         # output voxel (i) -> world = bbox.min + ds * i ; then world -> view
         S = np.array([[ds, 0, 0, bbox.min[0]],
                       [0, ds, 0, bbox.min[1]],
                       [0, 0, ds, bbox.min[2]],
                       [0, 0, 0, 1.0]])
-        invs.append(jnp.asarray((np.linalg.inv(A4) @ S)[:3], jnp.float32))
+        M = (np.linalg.inv(A4) @ S)[:3]
+        invs_np.append(M)
+        specs.append((tuple(int(s) for s in np.shape(vol)),
+                      is_axis_aligned(M), has_content))
+    specs = tuple(specs)
+
+    invs = jnp.asarray(np.stack(invs_np), jnp.float32)
+    scales = jnp.asarray(
+        np.stack([np.diag(M[:, :3]) for M in invs_np]), jnp.float32)
+    shifts = jnp.asarray(np.stack([M[:, 3] for M in invs_np]), jnp.float32)
 
     out = np.zeros(out_shape, np.float32)
-    zc = min(params.z_chunk, out_shape[0])
+    zc = params.z_chunk or max(
+        1, min(out_shape[0], _AUTO_CHUNK_VOXELS
+               // max(1, out_shape[1] * out_shape[2])))
     for z0 in range(0, out_shape[0], zc):
         z1 = min(z0 + zc, out_shape[0])
         chunk_shape = (z1 - z0, out_shape[1], out_shape[2])
-        acc_v = jnp.zeros(chunk_shape, jnp.float32)
-        acc_w = jnp.zeros(chunk_shape, jnp.float32)
         # offset is in OUTPUT voxel units (the affine S handles world)
         offset = jnp.asarray([z0, 0.0, 0.0], jnp.float32)
-        for v, cw, inv, vol_np in zip(vols_j, content_vols, invs, volumes):
-            acc_v, acc_w = _accumulate_view_chunk(
-                acc_v, acc_w, v, cw, inv, offset,
-                tuple(vol_np.shape), params, chunk_shape)
-        chunk = jnp.where(acc_w > 1e-9, acc_v / jnp.maximum(acc_w, 1e-9), 0.0)
+        chunk = _fuse_chunk(tuple(vols_j), tuple(cweights), invs, scales,
+                            shifts, offset, specs, params, chunk_shape)
         out[z0:z1] = np.asarray(chunk)
     return out
 

@@ -4,10 +4,21 @@ Reference parity: ImgLib1 DoG peak detection (26-neighborhood strict
 extremum scan) and `SubpixelLocalization` (iterative 3x3x3 quadratic fit
 with re-centering; SURVEY.md section 2.3 / 7.3 "subpixel parity").
 
-TPU-native design: the extremum scan is a fully vectorized VPU stencil
-(27 shifted comparisons); peak selection uses `jax.lax.top_k` over the
-flattened response to produce a STATIC number of peaks with a validity
-mask, instead of a dynamic list.
+TPU-native design (all measured on-chip, see PERF.md):
+
+- Candidate extrema come from a SEPARABLE 3-pass max-pool (z,y,x
+  `reduce_window`s compose to the 3x3x3 window max) — memory-bound, ~9x
+  cheaper than 26 shifted comparisons. Strictness (center strictly
+  greater than all 26 neighbors) is enforced afterwards on the selected
+  peaks only, against their gathered 3x3x3 neighborhoods.
+- Peak selection is a TWO-STAGE `top_k` (per-row top-k1, then top-k over
+  the candidates) with an in-program exactness guard: if any row holds
+  more than k1 candidates, `lax.cond` falls back to the exact full
+  top_k. ~5x cheaper than a flat 16M-element top_k at k=8192.
+- Sub-pixel refinement is batched over all peaks: 27 flat 1D gathers per
+  iteration + closed-form (Cramer) 3x3 Newton solves; the per-peak
+  re-centering loop of the reference becomes a `fori_loop` over the max
+  iteration count (idempotent once a peak stops moving).
 """
 
 from __future__ import annotations
@@ -51,6 +62,58 @@ def local_extrema_mask(dog: jnp.ndarray, find_maxima: bool = True,
     return mask & border
 
 
+def _pool3(vol: jnp.ndarray, op, init) -> jnp.ndarray:
+    """3x3x3 window reduce as three separable 1D passes."""
+    m = jax.lax.reduce_window(vol, init, op, (3, 1, 1), (1, 1, 1), "SAME")
+    m = jax.lax.reduce_window(m, init, op, (1, 3, 1), (1, 1, 1), "SAME")
+    return jax.lax.reduce_window(m, init, op, (1, 1, 3), (1, 1, 1), "SAME")
+
+
+def _interior_mask(shape):
+    z = (jnp.arange(shape[0]) >= 1) & (jnp.arange(shape[0]) <= shape[0] - 2)
+    y = (jnp.arange(shape[1]) >= 1) & (jnp.arange(shape[1]) <= shape[1] - 2)
+    x = (jnp.arange(shape[2]) >= 1) & (jnp.arange(shape[2]) <= shape[2] - 2)
+    return z[:, None, None] & y[None, :, None] & x[None, None, :]
+
+
+def _gather27(flat, base, YX, X):
+    """(P, 27) neighborhood values around flat base indices (raster order
+    matching a (3,3,3) reshape)."""
+    cols = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cols.append(jnp.take(flat, base + dz * YX + dy * X + dx,
+                                     mode="clip"))
+    return jnp.stack(cols, axis=-1)
+
+
+def _two_stage_topk(score, k, k1=64, row=4096):
+    """Exact top-k of `score` (1D) via per-row prefilter with an overflow
+    guard (falls back to the full top_k when a row holds > k1 candidates).
+    Returns (vals, idx)."""
+    n = score.shape[0]
+    rows = -(-n // row)
+    padded = jnp.full((rows * row,), -jnp.inf, score.dtype).at[:n].set(score)
+    if k > rows * k1:  # static: prefilter cannot retain k candidates
+        return jax.lax.top_k(padded, k)
+    tiles = padded.reshape(rows, row)
+    counts = jnp.sum(jnp.isfinite(tiles), axis=1)
+    overflow = jnp.any(counts > k1)
+
+    def fast(_):
+        v1, i1 = jax.lax.top_k(tiles, k1)
+        g1 = i1 + (jnp.arange(rows, dtype=i1.dtype) * row)[:, None]
+        v2, i2 = jax.lax.top_k(v1.reshape(-1), k)
+        return v2, jnp.take(g1.reshape(-1), i2)
+
+    def exact(_):
+        v, i = jax.lax.top_k(padded, k)
+        return v, i
+
+    return jax.lax.cond(overflow, exact, fast, operand=None)
+
+
 @partial(jax.jit, static_argnames=("max_peaks", "find_minima"))
 def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
                find_minima: bool = False):
@@ -59,47 +122,80 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
     Returns (coords (P,3) int32, response (P,), valid (P,) bool) — static
     shapes; invalid rows are zero.
     """
-    mask = local_extrema_mask(dog, True, find_minima)
-    score = jnp.where(mask, jnp.abs(dog), -jnp.inf)
-    flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_peaks)
+    z, y, x = dog.shape
+    n = z * y * x
+    cand = (dog >= _pool3(dog, jax.lax.max, -jnp.inf))
+    if find_minima:
+        cand |= (dog <= _pool3(dog, jax.lax.min, jnp.inf))
+    cand &= (jnp.abs(dog) >= threshold) & _interior_mask(dog.shape)
+    score = jnp.where(cand, jnp.abs(dog), -jnp.inf).reshape(-1)
+
+    k = min(max_peaks, n)
+    vals, idx = _two_stage_topk(score, k)
+    if k < max_peaks:
+        vals = jnp.pad(vals, (0, max_peaks - k), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, (0, max_peaks - k))
     valid = (vals >= threshold) & jnp.isfinite(vals)
+
+    # strictness: center strictly greater (smaller) than all 26 neighbors
+    flat = dog.reshape(-1)
+    idx = jnp.clip(idx, 0, n - 1)
+    nb = _gather27(flat, idx, y * x, x)
+    center = nb[:, 13]
+    others = jnp.concatenate([nb[:, :13], nb[:, 14:]], axis=1)
+    strict = jnp.all(center[:, None] > others, axis=1)
+    if find_minima:
+        strict |= jnp.all(center[:, None] < others, axis=1)
+    valid &= strict
+
     zz, yy, xx = jnp.unravel_index(idx, dog.shape)
     coords = jnp.stack([zz, yy, xx], axis=-1).astype(jnp.int32)
-    resp = dog.reshape(-1)[idx]
+    resp = jnp.take(flat, idx)
     coords = jnp.where(valid[:, None], coords, 0)
     resp = jnp.where(valid, resp, 0.0)
     return coords, resp, valid
 
 
-def _gather_neighborhood(dog_pad: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """3x3x3 neighborhood around integer coord c (into padded volume)."""
-    return jax.lax.dynamic_slice(dog_pad, (c[0], c[1], c[2]), (3, 3, 3))
+def _quadratic_step_batched(nb):
+    """Batched Newton step on (P, 27) 3x3x3 neighborhoods.
 
-
-def _quadratic_step(nb: jnp.ndarray):
-    """One Newton step on the 3x3x3 quadratic model.
-
-    Returns (offset (3,), value_at_offset). Matches ImgLib's
-    SubpixelLocalization: gradient by central differences, Hessian by the
-    standard 27-point stencils, offset = -H^-1 g.
+    Gradient by central differences, Hessian by the standard 27-point
+    stencils, offset = -H^-1 g via closed-form (Cramer) 3x3 inverse —
+    LAPACK-style batched solves are ~10 ms for 8k peaks on TPU, the
+    closed form fuses into the surrounding elementwise program.
     """
-    g = jnp.stack([
-        0.5 * (nb[2, 1, 1] - nb[0, 1, 1]),
-        0.5 * (nb[1, 2, 1] - nb[1, 0, 1]),
-        0.5 * (nb[1, 1, 2] - nb[1, 1, 0]),
-    ])
-    c = nb[1, 1, 1]
-    hzz = nb[2, 1, 1] - 2 * c + nb[0, 1, 1]
-    hyy = nb[1, 2, 1] - 2 * c + nb[1, 0, 1]
-    hxx = nb[1, 1, 2] - 2 * c + nb[1, 1, 0]
-    hzy = 0.25 * (nb[2, 2, 1] - nb[2, 0, 1] - nb[0, 2, 1] + nb[0, 0, 1])
-    hzx = 0.25 * (nb[2, 1, 2] - nb[2, 1, 0] - nb[0, 1, 2] + nb[0, 1, 0])
-    hyx = 0.25 * (nb[1, 2, 2] - nb[1, 0, 2] - nb[1, 2, 0] + nb[1, 0, 0])
-    H = jnp.array([[hzz, hzy, hzx], [hzy, hyy, hyx], [hzx, hyx, hxx]])
-    H = H + 1e-12 * jnp.eye(3, dtype=nb.dtype)
-    off = -jnp.linalg.solve(H, g)
-    val = c + 0.5 * jnp.dot(g, off)
+    nb = nb.reshape(nb.shape[0], 3, 3, 3)
+    c = nb[:, 1, 1, 1]
+    gz = 0.5 * (nb[:, 2, 1, 1] - nb[:, 0, 1, 1])
+    gy = 0.5 * (nb[:, 1, 2, 1] - nb[:, 1, 0, 1])
+    gx = 0.5 * (nb[:, 1, 1, 2] - nb[:, 1, 1, 0])
+    hzz = nb[:, 2, 1, 1] - 2 * c + nb[:, 0, 1, 1]
+    hyy = nb[:, 1, 2, 1] - 2 * c + nb[:, 1, 0, 1]
+    hxx = nb[:, 1, 1, 2] - 2 * c + nb[:, 1, 1, 0]
+    hzy = 0.25 * (nb[:, 2, 2, 1] - nb[:, 2, 0, 1]
+                  - nb[:, 0, 2, 1] + nb[:, 0, 0, 1])
+    hzx = 0.25 * (nb[:, 2, 1, 2] - nb[:, 2, 1, 0]
+                  - nb[:, 0, 1, 2] + nb[:, 0, 1, 0])
+    hyx = 0.25 * (nb[:, 1, 2, 2] - nb[:, 1, 0, 2]
+                  - nb[:, 1, 2, 0] + nb[:, 1, 0, 0])
+    hzz = hzz + 1e-12
+    hyy = hyy + 1e-12
+    hxx = hxx + 1e-12
+    # adjugate / determinant of the symmetric 3x3 Hessian
+    A = hyy * hxx - hyx * hyx
+    B = hyx * hzx - hzy * hxx
+    C = hzy * hyx - hyy * hzx
+    det = hzz * A + hzy * B + hzx * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    E = hzz * hxx - hzx * hzx
+    F = hzy * hzx - hzz * hyx
+    I = hzz * hyy - hzy * hzy
+    oz = -(A * gz + B * gy + C * gx) / det
+    oy = -(B * gz + E * gy + F * gx) / det
+    ox = -(C * gz + F * gy + I * gx) / det
+    off = jnp.stack([oz, oy, ox], axis=-1)
+    g = jnp.stack([gz, gy, gx], axis=-1)
+    val = c + 0.5 * jnp.sum(g * off, axis=-1)
     return off, val
 
 
@@ -114,43 +210,34 @@ def subpixel_localize(dog: jnp.ndarray, coords: jnp.ndarray,
     `max_iterations`); peaks whose final offset still exceeds ~1 voxel or
     that walk outside the volume are invalidated.
     """
-    dog_pad = jnp.pad(dog, 1, mode="edge")
-    shape = jnp.asarray(dog.shape, dtype=jnp.int32)
+    z, y, x = dog.shape
+    flat = dog.reshape(-1)
+    YX = y * x
+    hi = jnp.asarray([z - 2, y - 2, x - 2], jnp.int32)
+    c0 = jnp.clip(coords.astype(jnp.int32), 1, hi)
 
-    def one(c0, ok0):
-        def body(state):
-            it, c, _off, _val, moved = state
-            nb = _gather_neighborhood(dog_pad, c)  # c is already +1-shifted? no
-            off, val = _quadratic_step(nb)
-            step = jnp.where(jnp.abs(off) > max_offset,
-                             jnp.sign(off).astype(jnp.int32), 0)
-            c_new = jnp.clip(c + step, 1, shape - 2)
-            moved = jnp.any(step != 0)
-            return it + 1, c_new, off, val, moved
+    def body(_, state):
+        c, _off, _val = state
+        base = c[:, 0] * YX + c[:, 1] * x + c[:, 2]
+        nb = _gather27(flat, base, YX, x)
+        off, val = _quadratic_step_batched(nb)
+        step = jnp.where(jnp.abs(off) > max_offset,
+                         jnp.sign(off).astype(jnp.int32), 0)
+        c = jnp.clip(c + step, 1, hi)
+        return c, off, val
 
-        def cond(state):
-            it, _c, _off, _val, moved = state
-            return (it < max_iterations) & moved
+    p = coords.shape[0]
+    # NOTE: derive the zero carries from `flat` so their sharding "varying"
+    # axes match the body outputs under shard_map.
+    zero = jnp.zeros((), dog.dtype) * flat[0]
+    init = (c0, jnp.zeros((p, 3), dog.dtype) + zero,
+            jnp.zeros((p,), dog.dtype) + zero)
+    c, off, val = jax.lax.fori_loop(0, max_iterations, body, init)
 
-        # coords are interior (border excluded), so c maps into padded
-        # volume at c (since pad=1 shifts by +1 and neighborhood starts at
-        # c-1 -> padded index c). Keep everything in original index space
-        # and slice padded at (c[0], c[1], c[2]).
-        # NOTE: initial carry components derive from c0 so their sharding
-        # "varying" axes match the body outputs under shard_map.
-        val0 = dog[c0[0], c0[1], c0[2]]
-        off0 = jnp.zeros(3, dog.dtype) + 0.0 * val0
-        moved0 = c0[0] >= jnp.int32(-1)  # always True, input-derived
-        it, c, off, val, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), c0, off0, val0, moved0)
-        )
-        pos = c.astype(dog.dtype) + off
-        ok = ok0 & jnp.all(jnp.abs(off) < 1.0) & jnp.all(
-            (pos >= 0) & (pos <= (shape - 1).astype(dog.dtype))
-        )
-        return pos, val, ok
-
-    pos, val, ok = jax.vmap(one)(coords, valid)
+    pos = c.astype(dog.dtype) + off
+    shape = jnp.asarray(dog.shape, dog.dtype)
+    ok = valid & jnp.all(jnp.abs(off) < 1.0, axis=-1) & jnp.all(
+        (pos >= 0) & (pos <= shape - 1.0), axis=-1)
     pos = jnp.where(ok[:, None], pos, 0.0)
     val = jnp.where(ok, val, 0.0)
     return pos, val, ok

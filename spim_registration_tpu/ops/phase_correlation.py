@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spim_registration_tpu.ops.extrema import _quadratic_step
+from spim_registration_tpu.ops.extrema import _quadratic_step_batched
 
 
 @partial(jax.jit, static_argnames=())
@@ -67,7 +67,8 @@ def phase_correlation_shift(a: np.ndarray, b: np.ndarray,
         nb = np.asarray(jax.lax.dynamic_slice(
             jnp.pad(pcm, 1, mode="wrap"), (int(c[0]), int(c[1]), int(c[2])),
             (3, 3, 3)))
-        off, _val = _quadratic_step(jnp.asarray(nb))
+        off, _val = _quadratic_step_batched(jnp.asarray(nb).reshape(1, 27))
+        off = off[0]
         off = np.clip(np.asarray(off), -1.0, 1.0)
         shift = shift + off
     return shift, float(score)

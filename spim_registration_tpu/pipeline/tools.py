@@ -20,7 +20,7 @@ import numpy as np
 
 from spim_registration_tpu.core.dataset import Dataset, ViewId
 from spim_registration_tpu.models.affine import apply_affine
-from spim_registration_tpu.ops.resample import resample_affine
+from spim_registration_tpu.ops.resample import resample_affine_auto
 
 
 def apply_transformation(dataset: Dataset, view_ids: Iterable[ViewId],
@@ -116,9 +116,7 @@ def display_view(dataset: Dataset, view_id: ViewId,
     A4 = np.vstack([A, [0, 0, 0, 1]])
     inv = np.linalg.inv(A4)[:3]
     shp = out_shape or vol.shape
-    out, _ = resample_affine(jnp.asarray(vol, jnp.float32),
-                             jnp.asarray(inv, jnp.float32), tuple(shp),
-                             jnp.asarray(out_offset, jnp.float32))
+    out, _ = resample_affine_auto(vol, inv, tuple(shp), out_offset)
     return np.asarray(out)
 
 
