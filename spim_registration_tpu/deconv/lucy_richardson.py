@@ -91,6 +91,9 @@ def _stack_factor_banks(kernels: Sequence[np.ndarray], rank: int,
 
     banks = [decompose_for_rl(np.asarray(k, np.float64), rank, max_error)
              for k in kernels]
+    # adaptive ranks may differ per view: pad with all-zero rank-1 terms
+    # (zero az factor makes the extra passes contribute exactly 0)
+    rmax = max(b[0].shape[0] for b in banks)
     out = []
     for d in range(3):
         taps = max(b[d].shape[1] for b in banks)
@@ -99,7 +102,8 @@ def _stack_factor_banks(kernels: Sequence[np.ndarray], rank: int,
             arr = b[d]
             pad = taps - arr.shape[1]
             lo = pad // 2
-            padded.append(np.pad(arr, ((0, 0), (lo, pad - lo))))
+            arr = np.pad(arr, ((0, rmax - arr.shape[0]), (lo, pad - lo)))
+            padded.append(arr)
         out.append(jnp.asarray(np.stack(padded), jnp.float32))
     return tuple(out)
 

@@ -128,13 +128,25 @@ def conv_separable_lowrank(vol: jnp.ndarray, az: jnp.ndarray,
 
 
 def decompose_for_rl(kernel: np.ndarray, rank: int,
-                     max_error: float = 0.05):
+                     max_error: float = 0.05, adapt_tol: float = 5e-4):
     """Decompose an RL kernel; raise if the low-rank form is too lossy.
+
+    Rank is ADAPTIVE: the smallest rank r <= `rank` whose relative error
+    is <= `adapt_tol` is used (a Gaussian PSF and every pointwise/conv
+    combination of axis-aligned Gaussians is exactly rank 1, so the RL
+    compound kernels usually collapse to one separable pass — 3x fewer
+    matmuls than a fixed rank-3 bank). If no rank meets `adapt_tol`, the
+    full requested rank is kept and only `max_error` gates acceptance.
 
     RL kernels must keep total mass: the reconstruction is renormalized so
     its sum matches the kernel's (preserving flux in the multiplicative
     update)."""
-    az, ay, ax, err = lowrank_decompose(kernel, rank)
+    az = ay = ax = None
+    err = np.inf
+    for r in range(1, rank + 1):
+        az, ay, ax, err = lowrank_decompose(kernel, r)
+        if err <= adapt_tol:
+            break
     if err > max_error:
         raise ValueError(
             f"PSF rank-{rank} separable approximation too lossy "
