@@ -36,7 +36,7 @@ BASELINE_VOXEL_UPDATES_PER_S = 4.0e7
 import os
 
 SHAPE = tuple(int(s) for s in os.environ.get(
-    "SPIM_BENCH_SHAPE", "128,128,128").split(","))
+    "SPIM_BENCH_SHAPE", "256,256,256").split(","))
 N_VIEWS = int(os.environ.get("SPIM_BENCH_VIEWS", "4"))
 N_ITER = int(os.environ.get("SPIM_BENCH_ITERS", "20"))
 
@@ -50,13 +50,12 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    from spim_registration_tpu.core.dataset import BoundingBox
     from spim_registration_tpu.deconv import (
         DeconvolutionParameters,
         DeconvolutionRunner,
         gaussian_psf,
-        prepare_views_for_deconvolution,
     )
+    from spim_registration_tpu.deconv.prep import DeconvolutionViews
     from spim_registration_tpu.utils.simulation import render_beads
 
     rng = np.random.default_rng(0)
@@ -77,10 +76,27 @@ def main():
         kp = np.roll(kp, [-(s // 2) for s in p.shape], axis=axes)
         views.append(nfft.irfftn(tf * nfft.rfftn(kp, SHAPE, axes),
                                  SHAPE, axes).astype(np.float32))
-    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
-    bbox = BoundingBox("b", (0, 0, 0), SHAPE)
-    prep = prepare_views_for_deconvolution(views, [ident] * N_VIEWS, psfs,
-                                           bbox)
+    # Identity view transforms on the full bbox grid: the resampling step
+    # of prepare_views_for_deconvolution is a no-op, so build the prep
+    # host-side (skips a multi-minute remote-tunnel compile of the
+    # trilinear resampler that is not part of the measured RL engine).
+    # Identical cosine blending ramps across views normalize to 1/V
+    # wherever the ramp is positive (40 px range, reference default).
+    def ramp1d(n, rng_px=40.0):
+        x = np.arange(n, dtype=np.float32)
+        d = np.minimum(x, n - 1 - x)
+        return np.where(d >= rng_px, 1.0,
+                        (1.0 - np.cos(np.pi * d / rng_px)) * 0.5)
+
+    R = (ramp1d(SHAPE[0])[:, None, None] * ramp1d(SHAPE[1])[None, :, None]
+         * ramp1d(SHAPE[2])[None, None, :])
+    w = np.where(R > 0, 1.0 / N_VIEWS, 0.0).astype(np.float32)
+    prep = DeconvolutionViews(
+        images=np.stack(views),
+        weights=np.broadcast_to(w, (N_VIEWS,) + SHAPE).copy(),
+        psfs=[np.asarray(p, np.float32) for p in psfs],
+        osem_factor=float(N_VIEWS),
+    )
     log(f"setup: {time.time()-t0:.1f}s")
 
     import jax.numpy as jnp
