@@ -14,17 +14,41 @@ algorithm):
     optional Tikhonov damping with lambda.
 
 kernel2 variants (`LRFFT.PSFTYPE`) — the compound kernels of the 2014
-paper; the per-virtual-view terms combine by POINTWISE multiplication
-(sharpening K2 toward a delta, which is what accelerates convergence):
+paper ('.' = pointwise product on the common support, '(x)' =
+convolution, * = coordinate mirror; results renormalized to sum 1):
   INDEPENDENT         K2_v = P_v*                      (classic MV-RL)
   EFFICIENT_BAYESIAN  K2_v = P_v* . prod_{w!=v} (P_v* (x) P_w (x) P_w*)
   OPTIMIZATION_I      K2_v = P_v* . prod_{w!=v} (P_v* (x) P_w)
                       (virtual views assumed undegraded)
   OPTIMIZATION_II     K2_v = P_v* . (P_v* (x) P_v)
                       (self-term only; cheapest)
-  ('.' = pointwise product on the common support, '(x)' = convolution;
-  results renormalized to sum 1. Exact OPT_I/II forms to re-verify
-  against the reference when its mount has content.)
+
+Derivation of the compound forms (Preibisch et al., Nat. Methods 2014,
+supplement — "learning from the other views through virtual views"):
+updating psi with view v's observation phi_v, Bayes' rule over the OTHER
+views' expected observations adds, per view w != v, an RL factor whose
+forward kernel is the VIRTUAL PSF P_{v->w} = P_v* (x) P_w: psi's estimate
+of view w's image given only view v's data passes backward through P_v
+(adjoint = mirror) and forward through P_w. Each virtual observation is
+itself degraded by view w's optics, so its RL correction factor uses the
+kernel P_{v->w} (x) P_w* = P_v* (x) P_w (x) P_w*. Because the views are
+conditionally independent given psi, their per-voxel correction factors
+MULTIPLY POINTWISE; collapsing the virtual quotients onto view v's
+quotient (the paper's "efficient" step — one quotient conv per view
+instead of V of them) multiplies the kernels pointwise into the single
+compound kernel K2_v above. OPT_I drops the trailing (x) P_w* (virtual
+views treated as undegraded observations — fewer small-kernel convs,
+slightly sharper than justified); OPT_II additionally assumes every
+virtual view looks like the self-view, leaving the single self-term
+P_v* (x) P_v. Convergence order (iterations to equal quality):
+EFFICIENT_BAYESIAN < OPT_I < OPT_II < INDEPENDENT, matching the paper's
+Fig. 2 ladder (tests/test_deconv.py asserts EB beats INDEPENDENT).
+
+These forms and the full update rule are pinned ELEMENT-WISE against an
+independent NumPy port in tests/test_deconv_golden.py (every variant,
+both schemes, Tikhonov on/off). The reference mount has been empty every
+round so far (PARITY.md); if it gains content, re-verify the OPT_I/II
+algebra against `LRFFT.init` per SURVEY.md Appendix A.
 
 TPU-native design: psi and all views stay resident in HBM for the whole
 run; kernel FFTs are precomputed once; the view loop is a `lax.scan` and
