@@ -107,11 +107,20 @@ def _als_update(K: np.ndarray, F1: np.ndarray, F2: np.ndarray,
 
 def conv_separable_lowrank(vol: jnp.ndarray, az: jnp.ndarray,
                            ay: jnp.ndarray, ax: jnp.ndarray) -> jnp.ndarray:
-    """Same-size mirror-boundary conv with a sum-of-separable kernel.
+    """Same-size mirror-boundary CONVOLUTION with a sum-of-separable kernel.
 
-    az/ay/ax: (R, taps) per-axis factor banks (odd taps). The R rank-1
-    passes vmap into batched matmuls; XLA keeps them on the MXU.
+    az/ay/ax: (R, taps) per-axis factor banks (odd taps) — CP factors of
+    the kernel itself (`lowrank_decompose`). The R rank-1 passes vmap into
+    batched matmuls; XLA keeps them on the MXU.
+
+    `conv_axis_valid` computes correlation (out[i] = sum_j x[i+j] k[j]);
+    true convolution needs each 1D factor flipped. Gaussian factors are
+    symmetric so this is invisible for them — it matters for measured /
+    rotated PSFs (regression-tested with asymmetric kernels).
     """
+    az = jnp.flip(az, axis=1)
+    ay = jnp.flip(ay, axis=1)
+    ax = jnp.flip(ax, axis=1)
 
     def one_term(kz, ky, kx):
         out = vol

@@ -263,8 +263,10 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
 
     def local_conv_sep(x, bank):
         """Sum-of-separable conv on a z-shard: z pass consumes exchanged
-        halo rows, y/x passes mirror-pad locally."""
-        az, ay, ax = bank  # (R, taps) each
+        halo rows, y/x passes mirror-pad locally. Factors are flipped so
+        the correlation-style `conv_axis_valid` computes true convolution
+        (matters for asymmetric/rotated PSFs)."""
+        az, ay, ax = (jnp.flip(b, axis=1) for b in bank)  # (R, taps) each
         hz = (az.shape[-1] - 1) // 2
         xp = halo_exchange_z(x, hz, axis_name)
 

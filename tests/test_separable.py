@@ -64,6 +64,24 @@ def test_conv_matches_direct(rng):
     assert np.max(np.abs(got - want_k)) < 1e-3
 
 
+def test_conv_is_convolution_not_correlation(rng):
+    """Asymmetric separable kernel: regression for the flip bug (the banded
+    matmul computes correlation; factors must be flipped for convolution).
+    Symmetric Gaussians cannot catch this."""
+    vol = rng.random((18, 16, 20)).astype(np.float32)
+    az = np.array([0.1, 0.6, 0.3])
+    ay = np.array([0.2, 0.5, 0.3])
+    ax = np.array([0.7, 0.2, 0.1])
+    k = np.einsum("z,y,x->zyx", az, ay, ax)
+    k /= k.sum()
+    bz, by, bx, err = lowrank_decompose(k, rank=1)
+    assert err < 1e-10
+    got = np.asarray(conv_separable_lowrank(
+        jnp.asarray(vol), jnp.asarray(bz), jnp.asarray(by), jnp.asarray(bx)))
+    want = direct_convolve_np(vol, k)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_decompose_for_rl_rejects_high_rank(rng):
     k = rng.random((9, 9, 9)).astype(np.float64)
     k /= k.sum()
