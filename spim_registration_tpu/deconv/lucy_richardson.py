@@ -94,17 +94,54 @@ class DeconvolutionParameters:
     # unaccelerated MV-RL but runs wider.
     scheme: str = "sequential"
     # "fft": exact frequency-domain convolution (reference semantics).
-    # "separable": rank-`psf_rank` CP approximation of each kernel,
-    # convolved as banded matmuls on the MXU (ops/separable.py) — much
-    # faster when the PSFs are near-separable (measured bead PSFs are);
-    # raises if the approximation error exceeds `psf_rank_max_error`.
+    # "lowrank": adaptive-rank CP approximation of each kernel, applied as
+    # stacked mirror-folded conv-matrix matmuls on the MXU
+    # (ops/separable.py conv_lowrank_folded) — the fast GENERAL path:
+    # handles rotated/extracted non-separable PSFs (a 45-degree rotated
+    # lightsheet PSF needs rank ~10, measured 3.3 ms/conv at 256^3 vs
+    # 18.5 ms for the FFT path on TPU v5e). Rank adapts per kernel up to
+    # `psf_rank` (smallest rank with rel err <= `psf_rank_tol`); raises
+    # if even the max rank exceeds `psf_rank_max_error`, so grossly
+    # non-low-rank kernels fall back to "fft" explicitly.
+    # "separable": the tap-bank variant of the same CP approximation
+    # (per-rank pad+valid passes) — kept for the z-sharded multi-chip
+    # path, which exchanges tap halos.
     conv_backend: str = "fft"
-    psf_rank: int = 3
+    psf_rank: int = 16
     psf_rank_max_error: float = 0.05
+    psf_rank_tol: float = 5e-4
+    # matmul storage dtype for the lowrank backend: bf16 runs the MXU at
+    # full rate; RL contracts the ~1e-3 per-conv noise ~100x (measured).
+    lowrank_dtype: str = "bfloat16"
 
 
 def _mirror(k: np.ndarray) -> np.ndarray:
     return k[::-1, ::-1, ::-1].copy()
+
+
+def _folded_matrix_banks(kernels: Sequence[np.ndarray], img_shape,
+                         rank: int, max_error: float, adapt_tol: float,
+                         dtype):
+    """Per-view mirror-folded conv-matrix triples for the lowrank backend.
+
+    Ranks adapt per kernel; views are NOT padded to a common rank — the
+    engine unrolls the view loop so each view pays only its own rank
+    (a 0/90-degree view is rank 1 while a 45-degree view needs ~10).
+    """
+    from spim_registration_tpu.ops.separable import (
+        decompose_for_rl,
+        folded_conv_matrices,
+    )
+
+    out = []
+    for k in kernels:
+        az, ay, ax, _err = decompose_for_rl(
+            np.asarray(k, np.float64), rank, max_error,
+            adapt_tol=adapt_tol)
+        Mz, My, Mx = folded_conv_matrices(az, ay, ax, img_shape)
+        out.append(tuple(jnp.asarray(M).astype(dtype)
+                         for M in (Mz, My, Mx)))
+    return tuple(out)
 
 
 def _stack_factor_banks(kernels: Sequence[np.ndarray], rank: int,
@@ -200,6 +237,12 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
         def conv(x, k):
             az, ay, ax = k
             return conv_separable_lowrank(x, az, ay, ax)
+    elif conv_backend == "lowrank":
+        from spim_registration_tpu.ops.separable import conv_lowrank_folded
+
+        def conv(x, k):
+            Mz, My, Mx = k
+            return conv_lowrank_folded(x, Mz, My, Mx)
     else:
         def conv(x, kfft):
             return fft_convolve(x, None, kernel_fft=kfft,
@@ -217,7 +260,29 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             psi = psi / (1.0 + lam * psi)
         return jnp.maximum(psi, min_value)
 
-    if scheme == "sequential":
+    if conv_backend == "lowrank":
+        # per-view matrix triples have per-view ranks: unroll the view
+        # loop (deconvolution V is small — typically <= 8 views/tp)
+        V = len(k1_ffts)
+        if scheme == "sequential":
+            def iteration(_i, psi):
+                for v in range(V):
+                    conv2 = view_quotient_conv(
+                        psi, images[v], weights[v], k1_ffts[v], k2_ffts[v])
+                    psi = psi * (1.0 + osem * weights[v] * (conv2 - 1.0))
+                    psi = regularize(psi)
+                return psi
+        elif scheme == "parallel":
+            def iteration(_i, psi):
+                factor = jnp.float32(1.0)
+                for v in range(V):
+                    conv2 = view_quotient_conv(
+                        psi, images[v], weights[v], k1_ffts[v], k2_ffts[v])
+                    factor = factor + weights[v] * (conv2 - 1.0)
+                return regularize(psi * factor)
+        else:
+            raise ValueError(f"unknown RL scheme {scheme!r}")
+    elif scheme == "sequential":
         def view_step(psi, inputs):
             img, w, k1f, k2f = inputs
             conv2 = view_quotient_conv(psi, img, w, k1f, k2f)
@@ -263,6 +328,16 @@ class DeconvolutionRunner:
                 prep.psfs, params.psf_rank, params.psf_rank_max_error)
             self.k2_ffts = _stack_factor_banks(
                 k2s, params.psf_rank, params.psf_rank_max_error)
+        elif params.conv_backend == "lowrank":
+            self.fft_shape = None
+            dt = jnp.bfloat16 if params.lowrank_dtype == "bfloat16" \
+                else jnp.float32
+            self.k1_ffts = _folded_matrix_banks(
+                prep.psfs, self.img_shape, params.psf_rank,
+                params.psf_rank_max_error, params.psf_rank_tol, dt)
+            self.k2_ffts = _folded_matrix_banks(
+                k2s, self.img_shape, params.psf_rank,
+                params.psf_rank_max_error, params.psf_rank_tol, dt)
         else:
             max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
                               max(k.shape[d] for k in k2s))
