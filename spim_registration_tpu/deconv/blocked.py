@@ -1,0 +1,295 @@
+"""Out-of-core (blocked) multi-view Richardson-Lucy deconvolution.
+
+Reference parity: `Block` / `BlockGeneratorFixedSizePrecise` +
+`LRFFT`'s block loop (SURVEY.md section 2.8, section 5 "long-context
+analog"): volumes larger than device memory are deconvolved by streaming
+z-slab blocks disk<->HBM. Per view-update, each block reads the CURRENT psi
+with a halo of the full compound support (r1 + r2, re-read like the
+reference re-reads source halos per conv), computes the update for its
+interior, and writes it back — so the blocked result equals the
+in-memory engine exactly (seam-free), which the tests assert.
+
+IO pattern per iteration: for each view v (OSEM-sequential, matching
+`BayesMVDeconvolution`): for each block: read psi(block+r1+r2) +
+img_v(block+r2) + w_v(block), one fused device program (overlap-save FFT
+conv x2 + multiplicative update), write psi(block). Each view-update
+PING-PONGS between the psi store and a scratch store: every block of a
+view's update must read the PRE-update psi (the reference convolves the
+whole current estimate before updating) — writing in place would leak a
+block's update into its successor's halo and print seams. The psi store
+on disk doubles as the checkpoint: a crashed run resumes from the last
+completed iteration (`init_psi=False`).
+
+Stores: anything with `.shape`, `.read_block(lo, hi)`,
+`.write_block(lo, arr)` — the native C++ `RawVolumeStore`
+(native/spimblocks.cpp, threaded pread/pwrite), the TensorStore-backed
+Zarr volumes, or the in-memory `ArrayStore` below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spim_registration_tpu.deconv.lucy_richardson import (
+    DeconvolutionParameters,
+    compound_kernels,
+)
+from spim_registration_tpu.ops.fftconv import _fft_size
+from spim_registration_tpu.ops.gaussian import mirror_pad
+
+
+class ArrayStore:
+    """In-memory store with the block-store interface (tests / staging)."""
+
+    def __init__(self, array: np.ndarray):
+        self.array = np.asarray(array, np.float32)
+        self.shape = tuple(self.array.shape)
+
+    def read_block(self, lo, hi) -> np.ndarray:
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+        return np.array(self.array[sl])
+
+    def write_block(self, lo, data: np.ndarray) -> None:
+        sl = tuple(slice(int(a), int(a) + s)
+                   for a, s in zip(lo, data.shape))
+        self.array[sl] = data
+
+
+def _read_mirror_z(store, z_lo: int, z_hi: int) -> np.ndarray:
+    """Read rows [z_lo, z_hi) of a (Z, Y, X) store, mirror-filling rows
+    outside the volume (single-boundary mirror, matching the in-memory
+    engine's global boundary handling)."""
+    Z = store.shape[0]
+    il, ih = max(z_lo, 0), min(z_hi, Z)
+    core = store.read_block((il, 0, 0), (ih,) + tuple(store.shape[1:]))
+    pl, ph = il - z_lo, z_hi - ih
+    if pl or ph:
+        core = np.pad(core, ((pl, ph), (0, 0), (0, 0)), mode="reflect")
+    return core
+
+
+@partial(jax.jit, static_argnames=("bz", "h", "r1z", "r2z", "fs1", "fs2",
+                                   "ry1", "rx1", "ry2", "rx2", "use_lam"))
+def _block_view_update(psi_ext, img_ext, w, k1fft, k2fft, osem, lam, minv,
+                       bz, h, r1z, r2z, fs1, fs2, ry1, rx1, ry2, rx2,
+                       use_lam):
+    """One view's RL update for one z-slab block — a single XLA program.
+
+    psi_ext: (bz + 2h, Y, X) with h = r1z + r2z (z halo re-read from the
+    current psi; global z edges pre-mirrored host-side). y/x mirror
+    boundaries are applied locally — identical to the in-memory engine,
+    which mirrors the full axes.
+    """
+    Y, X = psi_ext.shape[1], psi_ext.shape[2]
+
+    def conv_os(x, kfft, rz, ry, rx, fshape):
+        # overlap-save in z (valid interior), mirror-pad in y/x
+        xp = mirror_pad(mirror_pad(x, ry, 1), rx, 2)
+        pads = [(0, fshape[0] - xp.shape[0]),
+                (0, fshape[1] - xp.shape[1]),
+                (0, fshape[2] - xp.shape[2])]
+        xp = jnp.pad(xp, pads)
+        out = jnp.fft.irfftn(jnp.fft.rfftn(xp) * kfft, s=fshape)
+        return out[rz:x.shape[0] - rz, ry:ry + Y, rx:rx + X]
+
+    conv1 = conv_os(psi_ext, k1fft, r1z, ry1, rx1, fs1)  # (bz+2*r2z, Y, X)
+    q = jnp.clip(img_ext / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+    conv2 = conv_os(q, k2fft, r2z, ry2, rx2, fs2)        # (bz, Y, X)
+    psi = psi_ext[h:h + bz]
+    psi = psi * (1.0 + osem * w * (conv2 - 1.0))
+    if use_lam:
+        psi = psi / (1.0 + lam * psi)
+    return jnp.maximum(psi, minv)
+
+
+@dataclasses.dataclass
+class BlockedDeconvolutionInputs:
+    """Disk-resident inputs: per-view image/weight stores on the bbox
+    grid (the streamed analog of `DeconvolutionViews`)."""
+
+    image_stores: Sequence
+    weight_stores: Sequence
+    psfs: List[np.ndarray]
+    osem_factor: float
+
+
+class BlockedDeconvolutionRunner:
+    """RL deconvolution for volumes that do not fit in device memory.
+
+    psi lives in `psi_store` (disk); each (view, block) update streams
+    through HBM. Matches `DeconvolutionRunner` (fft backend) exactly.
+    """
+
+    def __init__(self, inputs: BlockedDeconvolutionInputs, psi_store,
+                 params: DeconvolutionParameters = DeconvolutionParameters(),
+                 block_z: Optional[int] = None, scratch_store=None):
+        if params.conv_backend != "fft":
+            raise ValueError("blocked deconvolution supports "
+                             "conv_backend='fft' (exact reference "
+                             "semantics); got " + params.conv_backend)
+        if params.scheme != "sequential":
+            raise ValueError("blocked deconvolution is OSEM-sequential")
+        self.inputs = inputs
+        self.params = params
+        self.psi_store = psi_store
+        self.shape = tuple(psi_store.shape)
+        Z, Y, X = self.shape
+
+        k2s = compound_kernels(inputs.psfs, params.psf_type)
+        self.r1 = [tuple(s // 2 for s in np.shape(p)) for p in inputs.psfs]
+        self.r2 = [tuple(s // 2 for s in np.shape(k)) for k in k2s]
+        self.hz = max(a[0] + b[0] for a, b in zip(self.r1, self.r2))
+        self.r2z = max(b[0] for b in self.r2)
+
+        if block_z is None:
+            block_z = max(self.hz * 2, Z // 8)
+            while Z % block_z:
+                block_z += 1
+        if Z % block_z:
+            raise ValueError(f"block_z={block_z} must divide Z={Z}")
+        self.bz = int(block_z)
+
+        # per-view kernel FFTs at the two block-conv shapes (device-resident
+        # for the whole run; complex64 never crosses to the host)
+        self.fs1, self.fs2, self.k1f, self.k2f = [], [], [], []
+        from spim_registration_tpu.ops.fftconv import prepare_kernel_fft
+
+        for v in range(len(inputs.psfs)):
+            r1, r2 = self.r1[v], self.r2[v]
+            fs1 = (_fft_size(self.bz + 2 * self.hz),
+                   _fft_size(Y + 2 * r1[1]), _fft_size(X + 2 * r1[2]))
+            fs2 = (_fft_size(self.bz + 2 * self.r2z),
+                   _fft_size(Y + 2 * r2[1]), _fft_size(X + 2 * r2[2]))
+            self.fs1.append(fs1)
+            self.fs2.append(fs2)
+            self.k1f.append(prepare_kernel_fft(
+                jnp.asarray(inputs.psfs[v], jnp.float32), fs1))
+            self.k2f.append(prepare_kernel_fft(
+                jnp.asarray(k2s[v], jnp.float32), fs2))
+
+        self.osem = (params.osem_factor if params.osem_factor is not None
+                     else inputs.osem_factor)
+        self.lam = params.tikhonov_lambda
+        self.avg = None  # set by init_psi / resume
+        self.scratch_store = (scratch_store if scratch_store is not None
+                              else self._make_scratch(psi_store))
+
+    @staticmethod
+    def _make_scratch(psi_store):
+        """A second store of the same kind for the view-update ping-pong."""
+        from spim_registration_tpu.native_blocks import RawVolumeStore
+
+        if isinstance(psi_store, ArrayStore):
+            return ArrayStore(np.zeros(psi_store.shape, np.float32))
+        if isinstance(psi_store, RawVolumeStore):
+            return RawVolumeStore(psi_store.path + ".scratch",
+                                  psi_store.shape, create=True)
+        raise ValueError(
+            "pass scratch_store= explicitly for custom store types")
+
+    # ------------------------------------------------------------------
+    def initialize_psi(self) -> float:
+        """Two streaming passes: global average, then psi0 blocks."""
+        Z, Y, X = self.shape
+        s_wi = 0.0
+        s_w = 0.0
+        for z0 in range(0, Z, self.bz):
+            lo, hi = (z0, 0, 0), (z0 + self.bz, Y, X)
+            for img_s, w_s in zip(self.inputs.image_stores,
+                                  self.inputs.weight_stores):
+                img = img_s.read_block(lo, hi)
+                w = w_s.read_block(lo, hi)
+                s_wi += float((img * w).sum())
+                s_w += float(w.sum())
+        avg = s_wi / max(s_w, 1e-9)
+        floor = self.params.min_value * avg
+        init_const = avg if self.params.init == "average" else avg
+        for z0 in range(0, Z, self.bz):
+            lo, hi = (z0, 0, 0), (z0 + self.bz, Y, X)
+            acc = np.zeros((self.bz, Y, X), np.float32)
+            wsum = np.zeros((self.bz, Y, X), np.float32)
+            for img_s, w_s in zip(self.inputs.image_stores,
+                                  self.inputs.weight_stores):
+                img = img_s.read_block(lo, hi)
+                w = w_s.read_block(lo, hi)
+                acc += img * w
+                wsum += w
+            if self.params.init == "average":
+                psi0 = np.where(wsum > 1e-9,
+                                acc / np.maximum(wsum, 1e-9), init_const)
+            else:
+                psi0 = np.full((self.bz, Y, X), init_const, np.float32)
+            self.psi_store.write_block(lo, np.maximum(psi0, floor))
+        self.avg = avg
+        return avg
+
+    # ------------------------------------------------------------------
+    def run(self, num_iterations: Optional[int] = None,
+            init_psi: bool = True, progress_fn=None):
+        """Stream RL iterations; psi_store holds the result (and is the
+        resume checkpoint — pass init_psi=False to continue a run)."""
+        n = (num_iterations if num_iterations is not None
+             else self.params.num_iterations)
+        if init_psi or self.avg is None:
+            if init_psi:
+                self.initialize_psi()
+            else:
+                self.avg = self._recompute_avg()
+        Z, Y, X = self.shape
+        minv = jnp.float32(self.params.min_value * self.avg)
+        osem = jnp.float32(self.osem)
+        lam = jnp.float32(self.lam)
+        use_lam = self.lam > 0
+
+        src, dst = self.psi_store, self.scratch_store
+        for it in range(n):
+            for v in range(len(self.inputs.psfs)):
+                r1, r2 = self.r1[v], self.r2[v]
+                for z0 in range(0, Z, self.bz):
+                    # halos read from SRC (the pre-update psi) — updates
+                    # go to DST so no block sees its predecessor's update
+                    psi_ext = _read_mirror_z(
+                        src, z0 - self.hz, z0 + self.bz + self.hz)
+                    img_ext = _read_mirror_z(
+                        self.inputs.image_stores[v],
+                        z0 - self.r2z, z0 + self.bz + self.r2z)
+                    w = self.inputs.weight_stores[v].read_block(
+                        (z0, 0, 0), (z0 + self.bz, Y, X))
+                    out = _block_view_update(
+                        jnp.asarray(psi_ext), jnp.asarray(img_ext),
+                        jnp.asarray(w), self.k1f[v], self.k2f[v],
+                        osem, lam, minv,
+                        bz=self.bz, h=self.hz,
+                        r1z=self.hz - self.r2z, r2z=self.r2z,
+                        fs1=self.fs1[v], fs2=self.fs2[v],
+                        ry1=r1[1], rx1=r1[2], ry2=r2[1], rx2=r2[2],
+                        use_lam=use_lam)
+                    dst.write_block((z0, 0, 0), np.asarray(out))
+                src, dst = dst, src
+            if progress_fn is not None:
+                progress_fn(it + 1)
+        if src is not self.psi_store:  # odd number of view-updates
+            for z0 in range(0, Z, self.bz):
+                self.psi_store.write_block(
+                    (z0, 0, 0),
+                    src.read_block((z0, 0, 0), (z0 + self.bz, Y, X)))
+        return self.psi_store
+
+    def _recompute_avg(self) -> float:
+        Z, Y, X = self.shape
+        s_wi = s_w = 0.0
+        for z0 in range(0, Z, self.bz):
+            lo, hi = (z0, 0, 0), (z0 + self.bz, Y, X)
+            for img_s, w_s in zip(self.inputs.image_stores,
+                                  self.inputs.weight_stores):
+                img = img_s.read_block(lo, hi)
+                w = w_s.read_block(lo, hi)
+                s_wi += float((img * w).sum())
+                s_w += float(w.sum())
+        return s_wi / max(s_w, 1e-9)

@@ -32,6 +32,29 @@ def gaussian_psf(shape=(17, 17, 17), sigma=(2.0, 1.5, 1.5),
     return (psf / psf.sum()).astype(dtype)
 
 
+def condition_psf(psf: np.ndarray, taper_radius: float | None = None,
+                  floor: float = 0.0) -> np.ndarray:
+    """Standard extracted-PSF conditioning: soft cosine taper beyond
+    `taper_radius` (suppresses neighbor-bead contamination in the patch
+    corners) and a relative floor (zero out values < floor * max).
+    Renormalizes to sum 1. The reference's ExtractPSF likewise relies on
+    patch cropping + min-subtraction; the taper is the windowed variant.
+    """
+    psf = np.asarray(psf, np.float64)
+    if taper_radius is not None:
+        grids = np.meshgrid(*[np.arange(s) - s // 2 for s in psf.shape],
+                            indexing="ij")
+        r = np.sqrt(sum(g.astype(float) ** 2 for g in grids))
+        edge = min(s // 2 for s in psf.shape)
+        t = np.clip((r - taper_radius) / max(edge - taper_radius, 1e-6),
+                    0.0, 1.0)
+        psf = psf * (0.5 * (1.0 + np.cos(np.pi * t)))
+    if floor > 0:
+        psf = np.where(psf < floor * psf.max(), 0.0, psf)
+    s = psf.sum()
+    return (psf / s if s > 0 else psf).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("psf_shape",))
 def _extract_device(vol, view_to_world, points_world, valid, psf_shape):
     world_to_view = invert_affine(view_to_world)

@@ -20,8 +20,8 @@ import numpy as np
 
 from spim_registration_tpu.match.descriptors import (
     local_coordinate_descriptors,
+    rgldm_candidate_scores,
     rgldm_descriptors,
-    rgldm_similarity_matrix,
 )
 from spim_registration_tpu.models.ransac import (
     RansacParameters,
@@ -51,6 +51,10 @@ class PairwiseParameters:
     redundancy: int = 1
     ransac: RansacParameters = RansacParameters()
     max_points: int = 1024  # padded per-view point budget on device
+    # RGLDM: rigid-fit residuals are evaluated only against this many
+    # signature-prefiltered candidates per point (memory O(P*k*S^2)
+    # instead of O(P^2*S^2) — scales to 4096+ points per view)
+    prefilter_k: int = 16
 
 
 @dataclasses.dataclass
@@ -109,10 +113,11 @@ def _candidates_geometric_hashing(pa, va, pb, vb, params: PairwiseParameters):
 def _candidates_rgldm(pa, va, pb, vb, params: PairwiseParameters):
     ca, oka = rgldm_descriptors(pa, va, params.num_neighbors, params.redundancy)
     cb, okb = rgldm_descriptors(pb, vb, params.num_neighbors, params.redundancy)
-    sim = rgldm_similarity_matrix(pa, ca, oka, pb, cb, okb)
-    neg, idx = jax.lax.top_k(-sim, 2)
+    scores, cand_idx = rgldm_candidate_scores(
+        pa, ca, oka, pb, cb, okb, k=max(params.prefilter_k, 2))
+    neg, kbest = jax.lax.top_k(-scores, 2)
     best, second = -neg[:, 0], -neg[:, 1]
-    j = idx[:, 0]
+    j = jnp.take_along_axis(cand_idx, kbest[:, :1], axis=1)[:, 0]
     ok = (oka
           & (best * params.ratio_of_distance <= second)
           & (best < params.difference_threshold))

@@ -121,7 +121,14 @@ def _als_update(K: np.ndarray, F1: np.ndarray, F2: np.ndarray,
     R = F1.shape[1]
     KR = (F1[:, None, :] * F2[None, :, :]).reshape(-1, R)
     G = (F1.T @ F1) * (F2.T @ F2)
-    return Km @ KR @ np.linalg.pinv(G)
+    if not np.all(np.isfinite(G)):
+        return np.full((K.shape[mode], R), np.nan)
+    # ridge keeps degenerate (duplicate/zero) factor columns solvable
+    G = G + (1e-12 * max(np.trace(G), 1.0)) * np.eye(R)
+    try:
+        return np.linalg.solve(G, (Km @ KR).T).T
+    except np.linalg.LinAlgError:
+        return Km @ KR @ np.linalg.pinv(G, hermitian=True)
 
 
 def conv_separable_lowrank(vol: jnp.ndarray, az: jnp.ndarray,
@@ -228,29 +235,54 @@ def decompose_for_rl(kernel: np.ndarray, rank: int,
     update)."""
     K = np.asarray(kernel, np.float64)
     norm0 = np.linalg.norm(K) or 1.0
-    A = B = C = None
-    err = np.inf
-    # incremental rank search: warm-start rank r from the refined (r-1)
-    # solution plus one greedy power-iteration term on its residual, then
-    # a short joint-ALS polish — O(rank) short refines instead of O(rank)
-    # full decompositions (the from-scratch loop took ~10 s/kernel at
-    # rank 16; this takes well under a second)
+
+    # 1) GROW: greedy rank-1 deflation until the residual meets the
+    # tolerance (with headroom — the joint refine below improves it) or
+    # stalls (a non-low-rank noise floor: measured PSFs carry detector
+    # noise that extra CP terms cannot represent — stop instead of
+    # spending matmul passes chasing noise).
+    terms = []
+    resid = K.copy()
+    g_errs = []
     for r in range(1, rank + 1):
-        resid = K if A is None else \
-            K - np.einsum("zr,yr,xr->zyx", A, B, C)
         wa, b, c = _power_iter_term(resid, 150)
-        if A is None:
-            A = wa[:, None]
-            B = b[:, None]
-            C = c[:, None]
-        else:
-            A = np.concatenate([A, wa[:, None]], axis=1)
-            B = np.concatenate([B, b[:, None]], axis=1)
-            C = np.concatenate([C, c[:, None]], axis=1)
-        A, B, C, err = _als_refine(K, A, B, C, 200,
-                                   max(adapt_tol * 1e-3, 1e-12), norm0)
-        if err <= adapt_tol:
+        terms.append((wa, b, c))
+        resid = resid - np.einsum("z,y,x->zyx", wa, b, c)
+        g_errs.append(np.linalg.norm(resid) / norm0)
+        if g_errs[-1] <= 0.5 * adapt_tol:
             break
+        # stall = no real progress over TWO added ranks (greedy CP terms
+        # of rotated kernels come in +- pairs, so single-step progress
+        # alternates; a noise floor is flat over any window)
+        if r >= 3 and g_errs[-1] > 0.8 * g_errs[-3]:
+            break
+    A = np.stack([t[0] for t in terms], axis=1)
+    B = np.stack([t[1] for t in terms], axis=1)
+    C = np.stack([t[2] for t in terms], axis=1)
+
+    # 2) REFINE: one strong joint-ALS polish at the grown rank.
+    A, B, C, err = _als_refine(K, A, B, C, 500, 1e-12, norm0)
+
+    # 3) TRIM: bisect to the smallest rank still meeting the achieved
+    # error (greedy growth over-provisions; err is monotone in rank).
+    target = max(err * 1.05, adapt_tol)
+    lo, hi = 1, A.shape[1]          # hi always meets target
+    best = (A, B, C, err)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        A2, B2, C2, e2 = _als_refine(K, A[:, :mid].copy(),
+                                     B[:, :mid].copy(), C[:, :mid].copy(),
+                                     150, 1e-12, norm0)
+        if e2 <= target:
+            best = (A2, B2, C2, e2)
+            hi = mid
+        else:
+            lo = mid + 1
+    A, B, C, err = best
+    if not np.isfinite(err):
+        raise ValueError(
+            "PSF decomposition produced non-finite factors (degenerate or "
+            "non-finite kernel); use conv_backend='fft'")
     az, ay, ax = A.T.astype(np.float32), B.T.astype(np.float32), \
         C.T.astype(np.float32)
     if err > max_error:

@@ -56,6 +56,21 @@ def render_beads(points: np.ndarray, shape, sigma=1.7,
     return vol
 
 
+def _fft_blur(vol: np.ndarray, psf: np.ndarray) -> np.ndarray:
+    """Host-side circular FFT convolution (beads sit >= margin from the
+    edge, so wrap-around is negligible; ~100x faster than direct conv for
+    the larger simulated scenes)."""
+    import numpy.fft as nfft
+
+    axes = (0, 1, 2)
+    kp = np.zeros(vol.shape, np.float32)
+    kp[: psf.shape[0], : psf.shape[1], : psf.shape[2]] = psf
+    kp = np.roll(kp, [-(s // 2) for s in psf.shape], axis=axes)
+    out = nfft.irfftn(nfft.rfftn(vol, axes=axes) * nfft.rfftn(kp, axes=axes),
+                      vol.shape, axes=axes)
+    return out.astype(np.float32)
+
+
 @dataclasses.dataclass
 class MultiViewScene:
     """Ground truth + per-view data for a simulated acquisition."""
@@ -114,9 +129,8 @@ def make_multiview_scene(
         psf = None
         if psf_sigmas is not None:
             from spim_registration_tpu.deconv.psf import gaussian_psf
-            from spim_registration_tpu.ops.fftconv import direct_convolve_np
             psf = gaussian_psf((13, 13, 13), psf_sigmas[v % len(psf_sigmas)])
-            vol = direct_convolve_np(vol, psf).astype(np.float32)
+            vol = _fft_blur(vol, psf)
         if noise:
             vol = vol + rng.normal(0, noise, shape).astype(np.float32)
         volumes.append(vol.astype(np.float32))
