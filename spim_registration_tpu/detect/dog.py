@@ -43,6 +43,26 @@ class DoGParameters:
     normalize: bool = True          # min/max normalize image first
     min_intensity: float | None = None
     max_intensity: float | None = None
+    # anisotropic z: explicit z sigma, or derived from the voxel
+    # calibration like the reference (DifferenceOfGaussian computes the
+    # z sigma from the z/xy spacing ratio: a blob that is sigma wide in
+    # xy voxels spans sigma * (xy_spacing / z_spacing) z voxels)
+    sigma_z: float | None = None
+    calibration_zyx: tuple | None = None  # (z, y, x) voxel spacing
+
+
+def effective_sigmas(params: DoGParameters) -> tuple:
+    """Per-axis base sigma (sz, sy, sx) from the parameter ladder:
+    explicit sigma_z > calibration-derived > isotropic."""
+    s = float(params.sigma)
+    if params.sigma_z is not None:
+        sz = float(params.sigma_z)
+    elif params.calibration_zyx is not None:
+        cz, cy, _cx = (float(c) for c in params.calibration_zyx)
+        sz = s * cy / cz
+    else:
+        sz = s
+    return (sz, s, s)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -61,8 +81,12 @@ def _detect_device(vol: jnp.ndarray, params: DoGParameters):
     if any(f > 1 for f in factors):
         v = downsample(v, factors)
 
-    s1, s2, norm = dog_sigmas(params.sigma, params.threshold,
-                              steps_per_octave=params.steps_per_octave)
+    sz, sy, sx = effective_sigmas(params)
+    _, _, norm = dog_sigmas(params.sigma, params.threshold,
+                            steps_per_octave=params.steps_per_octave)
+    k = 2.0 ** (1.0 / params.steps_per_octave)
+    s1 = (sz, sy, sx)
+    s2 = tuple(s * k for s in s1)
     dog = difference_of_gaussian(v, s1, s2) * jnp.float32(norm)
     coords, resp, valid = find_peaks(
         dog, params.threshold, params.max_peaks, params.find_minima

@@ -168,6 +168,62 @@ def test_sharded_detection_matches_single(mesh, rng):
     assert d.min(axis=1).max() < 0.05
 
 
+def test_sharded_detection_with_downsampling(mesh, rng):
+    """Downsampled sharded detection == downsampled single-device
+    detection (VERDICT r1 item 7: the NotImplementedError path)."""
+    from spim_registration_tpu.detect import DoGParameters, detect_beads
+    from spim_registration_tpu.parallel.sharded_detect import (
+        sharded_detect_beads,
+    )
+
+    pts = rng.uniform(10, 110, size=(25, 3))
+    pts[:, 1:] = rng.uniform(8, 56, size=(25, 2))
+    vol = render_beads(pts, (128, 64, 64), sigma=2.5)
+    vol += rng.normal(0, 0.003, vol.shape).astype(np.float32)
+
+    params = DoGParameters(sigma=1.8, threshold=0.008,
+                           downsample_xy=2, downsample_z=2)
+    ref_pts, _ = detect_beads(vol, params)
+    got_pts, _ = sharded_detect_beads(vol, params, mesh)
+    assert len(ref_pts) > 15
+    assert len(got_pts) == len(ref_pts), (len(got_pts), len(ref_pts))
+    d = np.linalg.norm(ref_pts[:, None] - got_pts[None], axis=-1)
+    assert d.min(axis=1).max() < 0.05
+
+
+def test_sharded_detection_anisotropic_sigma(mesh, rng):
+    """Per-axis z sigma (explicit or calibration-derived) matches the
+    single-device path and itself."""
+    from spim_registration_tpu.detect import DoGParameters, detect_beads
+    from spim_registration_tpu.detect.dog import effective_sigmas
+    from spim_registration_tpu.parallel.sharded_detect import (
+        sharded_detect_beads,
+    )
+
+    # calibration: z spacing 2x coarser than xy -> z sigma halves
+    p_cal = DoGParameters(sigma=1.8, threshold=0.01,
+                          calibration_zyx=(2.0, 1.0, 1.0))
+    assert effective_sigmas(p_cal) == (0.9, 1.8, 1.8)
+    p_exp = DoGParameters(sigma=1.8, threshold=0.01, sigma_z=0.9)
+    assert effective_sigmas(p_exp) == effective_sigmas(p_cal)
+
+    # anisotropic beads (narrow in z, like a calibrated acquisition)
+    vol = np.zeros((64, 48, 48), np.float32)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in vol.shape],
+                             indexing="ij")
+    for c in rng.uniform(10, 38, size=(12, 3)):
+        vol += np.exp(-((zz - c[0]) ** 2 / (2 * 0.9 ** 2)
+                        + (yy - c[1]) ** 2 / (2 * 1.8 ** 2)
+                        + (xx - c[2]) ** 2 / (2 * 1.8 ** 2))
+                      ).astype(np.float32)
+    ref_pts, _ = detect_beads(vol, p_cal)
+    got_pts, _ = sharded_detect_beads(vol, p_cal, mesh)
+    assert len(ref_pts) >= 10
+    assert len(got_pts) == len(ref_pts)
+    d = np.linalg.norm(ref_pts[:, None] - got_pts[None], axis=-1)
+    assert d.min(axis=1).max() < 0.05
+
+
 def test_sharded_normal_equation_assembly(rng):
     """Correspondence shards assembled per-device and psum-reduced match
     single-device assembly (the distributed-BA reduction)."""
