@@ -93,7 +93,10 @@ def _detect_device(vol: jnp.ndarray, params: DoGParameters):
     )
     pos, val, ok = subpixel_localize(dog, coords, valid)
     pos = upscale_coords(pos, factors)
-    return pos, val, ok
+    # pack into ONE array: each host transfer costs a full dispatch round
+    # trip on the remote-TPU tunnel (~27 ms), so 3 outputs -> 1
+    return jnp.concatenate(
+        [pos, val[:, None], ok.astype(jnp.float32)[:, None]], axis=1)
 
 
 def detect_beads(vol, params: DoGParameters = DoGParameters()):
@@ -101,10 +104,13 @@ def detect_beads(vol, params: DoGParameters = DoGParameters()):
 
     Returns (points (N,3) np.float32 full-res (z,y,x), responses (N,)) with
     only valid rows (host-side compaction — the device program is static).
+    `vol` may be a device array (preferred in loops: avoids re-uploading
+    the volume every call — a 256^3 upload over the remote tunnel costs
+    ~1.6 s, 30x the detection program itself).
     """
-    pos, val, ok = _detect_device(jnp.asarray(vol), params)
-    ok = np.asarray(ok)
-    return np.asarray(pos)[ok], np.asarray(val)[ok]
+    packed = np.asarray(_detect_device(jnp.asarray(vol), params))
+    ok = packed[:, 4] > 0.5
+    return packed[ok, :3].astype(np.float32), packed[ok, 3].astype(np.float32)
 
 
 def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",

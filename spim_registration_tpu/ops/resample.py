@@ -128,13 +128,18 @@ def is_axis_aligned(world_to_view: np.ndarray, tol: float = 1e-9) -> bool:
 
 @partial(jax.jit, static_argnames=("out_shape",))
 def resample_affine(vol: jnp.ndarray, world_to_view: jnp.ndarray,
-                    out_shape, out_offset=jnp.zeros(3)):
+                    out_shape, out_offset=None):
     """Render `vol` into an output grid: for each output voxel at world
     coordinate w, sample vol at world_to_view @ w.
 
     `world_to_view` is the INVERSE of the view's model (view->world) affine.
     Returns (block (out_shape,), inside mask).
     """
+    # default evaluated lazily: a jnp default argument would run a device
+    # computation AT IMPORT TIME, initializing the XLA backend before
+    # jax.distributed.initialize can be called (breaks multi-process)
+    if out_offset is None:
+        out_offset = jnp.zeros(3)
     grid = output_grid_coords(out_shape, dtype=vol.dtype)
     grid = grid + jnp.asarray(out_offset, dtype=vol.dtype)
     view_coords = apply_affine(world_to_view.astype(vol.dtype), grid)

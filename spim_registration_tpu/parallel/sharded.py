@@ -335,4 +335,11 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         in_specs=(P(axis_name), P(vspec, axis_name), P(vspec, axis_name),
                   P(vspec), P(vspec)),
         out_specs=P(axis_name)))
-    return np.asarray(run(psi, imgs, ws, k1, k2))
+    out = run(psi, imgs, ws, k1, k2)
+    if jax.process_count() > 1:
+        # multi-host: shards live on non-addressable devices; gather the
+        # global result to every host over DCN
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    return np.asarray(out)

@@ -1,0 +1,101 @@
+"""Worker process for the real multi-process jax.distributed test.
+
+Launched by tests/test_multihost_multiprocess.py: each of 2 processes
+owns 4 virtual CPU devices; together they form an 8-device global mesh
+with a coordinator, and run (a) one z-sharded RL step spanning both
+hosts (halo hops cross the process boundary) and (b) the 2D
+(host=view x z) parallel-RL scheme whose update factor psum-reduces
+ACROSS PROCESSES. Process 0 writes the results for the parent to check.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def tiny_prep(shape, n_views=2):
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.deconv import (
+        gaussian_psf,
+        prepare_views_for_deconvolution,
+    )
+    from spim_registration_tpu.ops.fftconv import direct_convolve_np
+    from spim_registration_tpu.utils.simulation import render_beads
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(6, shape[0] - 6, size=(12, 3))
+    truth = render_beads(pts, shape, sigma=1.0)
+    sigmas = [(2.5, 1.0, 1.0), (1.0, 1.0, 2.5)]
+    psfs = [gaussian_psf((9, 9, 9), sigmas[v % 2]) for v in range(n_views)]
+    views = [direct_convolve_np(truth, p).astype(np.float32) for p in psfs]
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    bbox = BoundingBox("b", (0, 0, 0), shape)
+    return prepare_views_for_deconvolution(views, [ident] * n_views, psfs,
+                                           bbox)
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    out_path = sys.argv[4]
+
+    from spim_registration_tpu.deconv import DeconvolutionParameters
+    from spim_registration_tpu.parallel.mesh import make_mesh
+    from spim_registration_tpu.parallel.multihost import (
+        host_z_mesh,
+        initialize_multihost,
+        shard_timepoints,
+    )
+    from spim_registration_tpu.parallel.sharded import sharded_deconvolve
+
+    initialize_multihost(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 4
+    assert jax.device_count() == 4 * nproc
+
+    # per-host timepoint split (cluster-mode analog)
+    tps = shard_timepoints(list(range(10)))
+    assert tps == list(range(10))[pid::nproc], tps
+
+    # z deep enough that an 8-way split still holds the 9^3 kernel
+    # (zl=8 -> 2*zl-1=15 >= 9: no kernel clipping in the sharded path)
+    shape = (64, 32, 32)
+    prep = tiny_prep(shape)
+
+    # (a) flat 8-way z-sharding across both hosts: interior halo hops at
+    # the host boundary cross DCN
+    mesh_flat = make_mesh(("z",), (jax.device_count(),), jax.devices())
+    out_a = sharded_deconvolve(
+        prep, DeconvolutionParameters(num_iterations=2,
+                                      psf_type="independent"),
+        mesh_flat)
+
+    # (b) mesh ("host", "z"): views data-parallel ACROSS PROCESSES
+    # (update factor psum over DCN), z sharded within each host
+    mesh_hz = host_z_mesh()
+    assert dict(mesh_hz.shape) == {"host": nproc, "z": 4}
+    out_b = sharded_deconvolve(
+        prep, DeconvolutionParameters(num_iterations=2,
+                                      psf_type="independent",
+                                      scheme="parallel"),
+        mesh_hz, axis_name="z", view_axis="host")
+
+    if pid == 0:
+        np.savez(out_path, out_a=out_a, out_b=out_b)
+    # all processes must reach here together
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("done")
+    print(f"worker {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
