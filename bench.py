@@ -90,25 +90,36 @@ def build_scene():
         bead_sigma=1.0, psf_sigmas=[(3.0, 1.0, 1.0)] * 8)
     log(f"scene: 8 views {SCENE_SHAPE} rendered in {time.time()-t0:.1f}s")
 
+    # fixture prep (not a measured metric): run on the in-process CPU
+    # backend — the remote TPU compile of the 128^3 detection program is
+    # slow and high-variance (2-10 min observed), while CPU does this in
+    # seconds; the MEASURED detection benchmark below runs on the chip
+    import jax
+
+    cpu = jax.devices("cpu")[0]
     t0 = time.time()
     dparams = DoGParameters(sigma=1.8, threshold=0.006)
     points = []
-    for v, vol in enumerate(scene.volumes):
-        pts, _ = detect_beads(vol, dparams)
-        points.append(pts)
+    with jax.default_device(cpu):
+        for v, vol in enumerate(scene.volumes):
+            pts, _ = detect_beads(vol, dparams)
+            points.append(pts)
     log(f"scene detection: {[len(p) for p in points]} beads "
         f"in {time.time()-t0:.1f}s")
 
     t0 = time.time()
     psfs, n_isolated = [], []
-    for v in range(8):
-        iso = _isolated(points[v], 13.0)
-        if len(iso) < 5:  # tiny smoke scenes: fall back to all beads
-            iso = points[v]
-        n_isolated.append(len(iso))
-        psf, _n = extract_psf(scene.volumes[v], scene.models[v],
-                              iso, psf_shape=(19, 19, 19))
-        psfs.append(condition_psf(psf, taper_radius=6.0, floor=2e-3))
+    with jax.default_device(cpu):
+        for v in range(8):
+            iso = _isolated(points[v], 13.0)
+            if len(iso) < 5:  # tiny smoke scenes: fall back to all beads
+                iso = points[v]
+            n_isolated.append(len(iso))
+            psf, _n = extract_psf(scene.volumes[v], scene.models[v],
+                                  iso, psf_shape=(19, 19, 19))
+            # taper + low-rank projection denoising (condition_psf doc)
+            psfs.append(condition_psf(psf, taper_radius=6.0, floor=2e-3,
+                                      denoise_rank=16))
     log(f"extracted 8 world-oriented PSFs from isolated beads "
         f"{n_isolated} in {time.time()-t0:.1f}s")
     return scene, points, psfs
@@ -264,12 +275,16 @@ def bench_rl(psfs):
     # identity view transforms on the bbox grid -> hand-built prep
     # (equivalence vs prepare_views_for_deconvolution asserted above)
     w = _ramp_weights(SHAPE, N_VIEWS)
+    # stage images/weights on device ONCE (the runners' jnp.asarray is
+    # then a no-op — saves a second ~0.5 GB upload over the tunnel)
     prep = DeconvolutionViews(
-        images=np.stack(views),
-        weights=np.broadcast_to(w, (N_VIEWS,) + SHAPE).copy(),
+        images=jnp.asarray(np.stack(views)),
+        weights=jnp.asarray(
+            np.broadcast_to(w, (N_VIEWS,) + SHAPE).copy()),
         psfs=psfs,
         osem_factor=float(N_VIEWS),
     )
+    _fence(prep.images)
     log(f"rl setup: {time.time()-t0:.1f}s")
 
     outs, walls_by_backend, extras = {}, {}, {}
@@ -277,7 +292,7 @@ def bench_rl(psfs):
         t0 = time.time()
         params = DeconvolutionParameters(
             num_iterations=N_ITER, psf_type="efficient_bayesian",
-            conv_backend=backend, psf_rank=16, psf_rank_tol=1e-3)
+            conv_backend=backend, psf_rank=16, psf_rank_tol=1e-4)
         runner = DeconvolutionRunner(prep, params)
         log(f"{backend}: staged in {time.time()-t0:.1f}s")
         if backend == "lowrank":

@@ -113,16 +113,38 @@ class DeconvolutionParameters:
     # matmul storage dtype for the lowrank backend: bf16 runs the MXU at
     # full rate; RL contracts the ~1e-3 per-conv noise ~100x (measured).
     lowrank_dtype: str = "bfloat16"
+    # bf16 weight quantization is SYSTEMATIC (the same rounded matrices
+    # every iteration shift the RL fixed point); dithering the rounding
+    # over `lowrank_dither_phases` per-view-update phases makes the
+    # time-average effective kernel unbiased, leaving only oscillation
+    # that RL contracts like noise. Costs memory only (no extra matmuls).
+    lowrank_dither_phases: int = 4
 
 
 def _mirror(k: np.ndarray) -> np.ndarray:
     return k[::-1, ::-1, ::-1].copy()
 
 
+def _bf16_dither_stack(M: np.ndarray, phases: int) -> np.ndarray:
+    """(phases, ...) bf16-bound variants of M whose rounding errors
+    average to ~zero: phase p adds ((p+0.5)/phases - 0.5) * ULP_bf16(M)
+    before the round-to-nearest cast (classic dithered quantization)."""
+    x = np.asarray(M, np.float64)
+    mag = np.abs(x)
+    # bf16: 7 explicit mantissa bits -> ULP = 2^(exponent - 7)
+    ulp = np.where(mag > 0,
+                   np.exp2(np.floor(np.log2(np.maximum(mag, 1e-300))) - 7),
+                   0.0)
+    ds = (np.arange(phases) + 0.5) / phases - 0.5
+    return np.stack([x + d * ulp for d in ds]).astype(np.float32)
+
+
 def _folded_matrix_banks(kernels: Sequence[np.ndarray], img_shape,
                          rank: int, max_error: float, adapt_tol: float,
-                         dtype):
-    """Per-view mirror-folded conv-matrix triples for the lowrank backend.
+                         dtype, dither_phases: int = 1):
+    """Per-view mirror-folded conv-matrix triples for the lowrank backend,
+    each with a leading quantization-phase axis (see `_bf16_dither_stack`;
+    size 1 when dithering is off or dtype is float32).
 
     Ranks adapt per kernel; views are NOT padded to a common rank — the
     engine unrolls the view loop so each view pays only its own rank
@@ -133,14 +155,22 @@ def _folded_matrix_banks(kernels: Sequence[np.ndarray], img_shape,
         folded_conv_matrices,
     )
 
+    phases = dither_phases if dtype == jnp.bfloat16 else 1
+    phases = max(int(phases), 1)
     out = []
     for k in kernels:
         az, ay, ax, _err = decompose_for_rl(
             np.asarray(k, np.float64), rank, max_error,
             adapt_tol=adapt_tol)
-        Mz, My, Mx = folded_conv_matrices(az, ay, ax, img_shape)
-        out.append(tuple(jnp.asarray(M).astype(dtype)
-                         for M in (Mz, My, Mx)))
+        mats = folded_conv_matrices(az, ay, ax, img_shape, dtype=np.float64)
+        triple = []
+        for M in mats:
+            if phases > 1:
+                stack = _bf16_dither_stack(M, phases)
+            else:
+                stack = np.asarray(M, np.float32)[None]
+            triple.append(jnp.asarray(stack).astype(dtype))
+        out.append(tuple(triple))
     return tuple(out)
 
 
@@ -262,13 +292,28 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
 
     if conv_backend == "lowrank":
         # per-view matrix triples have per-view ranks: unroll the view
-        # loop (deconvolution V is small — typically <= 8 views/tp)
+        # loop (deconvolution V is small — typically <= 8 views/tp).
+        # Matrices carry a leading quantization-phase axis; the phase
+        # advances per view-update so bf16 rounding errors average out
+        # over iterations (dithered quantization — see the dataclass).
         V = len(k1_ffts)
+        n_phases = k1_ffts[0][0].shape[0]
+
+        def sel(triple, step):
+            if n_phases == 1:
+                return tuple(M[0] for M in triple)
+            p = jnp.mod(step, n_phases)
+            return tuple(
+                jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
+                for M in triple)
+
         if scheme == "sequential":
             def iteration(_i, psi):
                 for v in range(V):
+                    step = _i * V + v
                     conv2 = view_quotient_conv(
-                        psi, images[v], weights[v], k1_ffts[v], k2_ffts[v])
+                        psi, images[v], weights[v],
+                        sel(k1_ffts[v], step), sel(k2_ffts[v], step))
                     psi = psi * (1.0 + osem * weights[v] * (conv2 - 1.0))
                     psi = regularize(psi)
                 return psi
@@ -276,8 +321,10 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             def iteration(_i, psi):
                 factor = jnp.float32(1.0)
                 for v in range(V):
+                    step = _i * V + v
                     conv2 = view_quotient_conv(
-                        psi, images[v], weights[v], k1_ffts[v], k2_ffts[v])
+                        psi, images[v], weights[v],
+                        sel(k1_ffts[v], step), sel(k2_ffts[v], step))
                     factor = factor + weights[v] * (conv2 - 1.0)
                 return regularize(psi * factor)
         else:
@@ -334,10 +381,12 @@ class DeconvolutionRunner:
                 else jnp.float32
             self.k1_ffts = _folded_matrix_banks(
                 prep.psfs, self.img_shape, params.psf_rank,
-                params.psf_rank_max_error, params.psf_rank_tol, dt)
+                params.psf_rank_max_error, params.psf_rank_tol, dt,
+                dither_phases=params.lowrank_dither_phases)
             self.k2_ffts = _folded_matrix_banks(
                 k2s, self.img_shape, params.psf_rank,
-                params.psf_rank_max_error, params.psf_rank_tol, dt)
+                params.psf_rank_max_error, params.psf_rank_tol, dt,
+                dither_phases=params.lowrank_dither_phases)
         else:
             max_k = tuple(max(max(p.shape[d] for p in prep.psfs),
                               max(k.shape[d] for k in k2s))

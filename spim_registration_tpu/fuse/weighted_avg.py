@@ -90,13 +90,19 @@ def _blending_separable(scale, shift, chunk_shape, view_size,
                                    "blend_size"))
 def _accumulate_view_chunk(acc_v, acc_w, vol, weight_vol, world_to_view,
                            chunk_offset, view_size, params: FusionParameters,
-                           chunk_shape, blend_size=None, blend_offset=None):
+                           chunk_shape, blend_size=None, blend_offset=None,
+                           content_affine=None):
     """Add one view's contribution to one output chunk (device step).
 
     `blend_size`/`blend_offset`: when `vol` is a sub-region of the full
     view (streaming mode), the blending ramp must still be evaluated in
     FULL-view coordinates: full = sampled + blend_offset, ramp over
     blend_size.
+
+    `content_affine`: when given, `weight_vol` is a LOW-RES content-weight
+    volume sampled at content_affine @ (chunk voxel) — the streaming
+    content path (coords clamped: the low-res pyramid may be a voxel
+    short at the far faces; content is smooth there).
     """
     grid = output_grid_coords(chunk_shape, dtype=jnp.float32)
     grid = grid + chunk_offset[None, None, None, :]
@@ -112,7 +118,13 @@ def _accumulate_view_chunk(acc_v, acc_w, vol, weight_vol, world_to_view,
             bc, view_size if blend_size is None else blend_size,
             params.blending)
     if params.use_content_based and weight_vol is not None:
-        cw, _ = trilinear_sample(weight_vol, vc)
+        if content_affine is not None:
+            cc = apply_affine(content_affine.astype(jnp.float32), grid)
+            cc = jnp.clip(cc, 0.0, jnp.asarray(weight_vol.shape,
+                                               jnp.float32) - 1.0)
+            cw, _ = trilinear_sample(weight_vol, cc)
+        else:
+            cw, _ = trilinear_sample(weight_vol, vc)
         w = w * cw
     return acc_v + w * vals, acc_w + w
 
