@@ -203,12 +203,20 @@ def main(workdir: str | None = None, budget_mb: float = 8192.0):
     for tp in range(T):
         parts = []
         for (vtp, s), vd in merged.views.items():
-            if vtp != tp or "beads" not in vd.interest_points:
+            # one view per tile (s % V == 0): pooling all 48 views puts
+            # ~48 near-duplicate copies of every bead in the pool, which
+            # degenerates the kNN descriptor constellations
+            if vtp != tp or s % V != 0 \
+                    or "beads" not in vd.interest_points:
                 continue
             A = vd.model()
             pts = vd.interest_points["beads"].points
             parts.append(pts @ A[:, :3].T + A[:, 3])
-        pools[tp] = np.concatenate(parts) if parts else np.zeros((0, 3))
+        pool = np.concatenate(parts) if parts else np.zeros((0, 3))
+        # tile overlaps still duplicate beads across tiles: merge them
+        from spim_registration_tpu.pipeline.timelapse import _dedupe
+
+        pools[tp] = _dedupe(pool, min_distance=1.5)
     stab_params = PairwiseParameters(
         method="rgldm", ratio_of_distance=3.0, model="translation",
         max_points=min(1024, max(len(p) for p in pools.values())))
