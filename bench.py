@@ -292,7 +292,7 @@ def bench_rl(psfs):
         t0 = time.time()
         params = DeconvolutionParameters(
             num_iterations=N_ITER, psf_type="efficient_bayesian",
-            conv_backend=backend, psf_rank=16, psf_rank_tol=3e-4)
+            conv_backend=backend, psf_rank=16, psf_rank_tol=1e-4)
         runner = DeconvolutionRunner(prep, params)
         log(f"{backend}: staged in {time.time()-t0:.1f}s")
         if backend == "lowrank":

@@ -11,6 +11,12 @@ from spim_registration_tpu.deconv.prep import (  # noqa: F401
     prepare_views_for_deconvolution,
 )
 from spim_registration_tpu.deconv.psf import (  # noqa: F401
+    condition_psf,
     extract_psf,
     gaussian_psf,
+)
+from spim_registration_tpu.deconv.blocked import (  # noqa: F401
+    ArrayStore,
+    BlockedDeconvolutionInputs,
+    BlockedDeconvolutionRunner,
 )

@@ -67,7 +67,11 @@ def condition_psf(psf: np.ndarray, taper_radius: float | None = None,
         psf = np.einsum("rz,ry,rx->zyx",
                         az.astype(np.float64), ay.astype(np.float64),
                         ax.astype(np.float64))
-        psf = np.maximum(psf, 0.0)
+        # deliberately NOT clamped to >= 0: tiny negative ringing
+        # (~1e-3 of max) is harmless to RL (quotients are floored), and
+        # clamping would break the EXACT low-rank representation — the
+        # fast conv backend then recovers this kernel to ~1e-7 instead
+        # of re-approximating at a few 1e-4 (a systematic error)
     s = psf.sum()
     return (psf / s if s > 0 else psf).astype(np.float32)
 

@@ -86,6 +86,18 @@ def streaming_content_lowres(store, params: ContentBasedParameters,
     return np.asarray(ent, np.float32)
 
 
+def _quantize_range(vlo, vhi, shape, q=(16, 32, 32)):
+    """Snap [vlo, vhi) outward to quantum multiples; returns
+    (lo, hi_clamped, zero_pad_amounts) with hi-lo + pad a multiple of q."""
+    vlo = np.asarray(vlo)
+    vhi = np.asarray(vhi)
+    q = np.asarray(q)
+    lo = (vlo // q) * q
+    hi_q = lo + ((vhi - lo + q - 1) // q) * q
+    hi = np.minimum(hi_q, shape)
+    return lo, hi, hi_q - hi
+
+
 def _read_mirror_z_range(store, z_lo: int, z_hi: int) -> np.ndarray:
     Z = store.shape[0]
     il, ih = max(z_lo, 0), min(z_hi, Z)
@@ -153,7 +165,18 @@ def fuse_views_streaming(
             vlo, vhi = _view_subregion(inv, world_lo, world_hi, store.shape)
             if np.any(vlo >= vhi):
                 continue
-            sub = store.read_block(vlo, vhi)
+            if params.use_blending:
+                # quantize the sub-region shape so XLA compiles a SMALL
+                # set of programs instead of one per (block, view) shape
+                # (a 48-view x many-block run otherwise exhausts compile
+                # memory). Out-of-bounds quanta are zero-filled — safe
+                # because the blending ramp is 0 outside the full view.
+                vlo, vhi, pad = _quantize_range(vlo, vhi, store.shape)
+                sub = store.read_block(vlo, vhi)
+                if any(p for p in pad):
+                    sub = np.pad(sub, [(0, int(p)) for p in pad])
+            else:
+                sub = store.read_block(vlo, vhi)
             # shift the world->view transform into subvolume coords:
             # subview(v) = view(v) - vlo ; out voxel i -> world
             # = world_lo + i -> view -> minus vlo

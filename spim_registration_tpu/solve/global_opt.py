@@ -190,6 +190,10 @@ def solve_global(
     n_iter = 1 if params.model in ("translation", "affine") else params.max_iterations
     prev_err = np.inf
     it_done = 0
+    # initial residuals — defined even if n_iter == 0 (e.g. a rigid solve
+    # with max_iterations=0 used to probe the starting error)
+    errs = np.linalg.norm(p0 - q0, axis=1)
+    mean_err = float(np.average(errs, weights=w)) if len(errs) else 0.0
     for it in range(n_iter):
         # current transformed points
         Bi = np.stack([B[t] for t in ti])
