@@ -294,6 +294,68 @@ def cmd_deconvolve(args):
         print(f"tp {tp}: deconvolved {out.shape} -> {path}")
 
 
+def cmd_tune(args):
+    """Headless InteractiveDoG analog: sweep sigma x threshold on one
+    view, print the peak-count table and a suggested threshold."""
+    from spim_registration_tpu.detect.tune import (
+        suggest_threshold,
+        sweep_detection,
+    )
+
+    ds = _dataset_with_loader(args.xml)
+    vid = tuple(args.view) if args.view else sorted(ds.views)[0]
+    vol = ds.get_image(tuple(vid))
+    table = sweep_detection(vol)
+    sigmas = sorted({s for s, _ in table})
+    thresholds = sorted({t for _, t in table})
+    print("peaks per (sigma x threshold):")
+    print("sigma\\thr " + " ".join(f"{t:>8g}" for t in thresholds))
+    for s in sigmas:
+        print(f"{s:>8g} " + " ".join(f"{table[(s, t)]:>8d}"
+                                     for t in thresholds))
+    sug = suggest_threshold(vol, sigma=args.sigma,
+                            expected_points=args.expected_points)
+    print(f"suggested threshold (sigma={args.sigma}"
+          + (f", ~{args.expected_points} points" if args.expected_points
+             else "") + f"): {sug:.5f}")
+    return 0
+
+
+def cmd_icp_refine(args):
+    """ICP refinement of already-registered views (the reference's
+    IterativeClosestPointPairwise run after a descriptor registration)."""
+    from spim_registration_tpu.core.xml_io import save_dataset
+    from spim_registration_tpu.match.icp import ICPParameters, icp_refine
+
+    ds = _dataset_with_loader(args.xml)
+    cfg = _load_config(args)
+    params = ICPParameters(max_distance=args.max_distance)
+    for tp in ds.timepoints():
+        views = ds.views_of_timepoint(tp)
+        pts_world = []
+        for v in views:
+            ips = v.interest_points.get(cfg.label)
+            if ips is None:
+                print(f"view {v.view_id}: no interest points; run detect "
+                      "first", file=sys.stderr)
+                return 1
+            A = v.model()
+            pts_world.append(np.asarray(ips.points) @ A[:, :3].T + A[:, 3])
+        ref = 0
+        for i, v in enumerate(views):
+            if i == ref:
+                continue
+            M, matches, err, iters = icp_refine(
+                pts_world[i], pts_world[ref], params=params)
+            M4 = np.vstack([M, [0, 0, 0, 1]])
+            A4 = np.vstack([v.model(), [0, 0, 0, 1]])
+            v.set_transform("icp", (M4 @ A4)[:3])
+            print(f"tp {tp} view {v.view_id}: icp {len(matches)} matches, "
+                  f"residual {err:.4f} px in {iters} iters")
+    save_dataset(ds, args.xml)
+    return 0
+
+
 def cmd_cluster_job(args):
     """One per-timepoint cluster job: detect + register that timepoint,
     write job_tp<N>.xml (Toggle_Cluster_Options / per-job XML analog)."""
@@ -433,6 +495,22 @@ def main(argv=None):
                                  "(default: all views together)")
         common(sp)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("tune", help="sweep DoG sigma/threshold on one "
+                        "view (InteractiveDoG analog)")
+    sp.add_argument("xml")
+    sp.add_argument("--view", type=int, nargs=2, metavar=("TP", "SETUP"))
+    sp.add_argument("--sigma", type=float, default=1.8)
+    sp.add_argument("--expected-points", type=int, default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_tune)
+
+    sp = sub.add_parser("icp-refine", help="ICP-refine registered views "
+                        "against view 0 (per timepoint)")
+    sp.add_argument("xml")
+    sp.add_argument("--max-distance", type=float, default=5.0)
+    common(sp)
+    sp.set_defaults(fn=cmd_icp_refine)
 
     sp = sub.add_parser("fuse")
     sp.add_argument("xml")

@@ -307,10 +307,14 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
                 jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
                 for M in triple)
 
+        # phase schedule (_i + v): the phase must ADVANCE ACROSS
+        # ITERATIONS for every view — (_i * V + v) % phases degenerates
+        # to a constant phase per view whenever V is a multiple of the
+        # phase count (V=4, phases=4 -> no averaging at all)
         if scheme == "sequential":
             def iteration(_i, psi):
                 for v in range(V):
-                    step = _i * V + v
+                    step = _i + v
                     conv2 = view_quotient_conv(
                         psi, images[v], weights[v],
                         sel(k1_ffts[v], step), sel(k2_ffts[v], step))
@@ -321,7 +325,7 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             def iteration(_i, psi):
                 factor = jnp.float32(1.0)
                 for v in range(V):
-                    step = _i * V + v
+                    step = _i + v
                     conv2 = view_quotient_conv(
                         psi, images[v], weights[v],
                         sel(k1_ffts[v], step), sel(k2_ffts[v], step))

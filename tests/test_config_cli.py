@@ -58,3 +58,6 @@ def test_cli_simulate_detect_register(tmp_path):
     fused = np.load(os.path.join(out, "fused.npy"))
     assert fused.ndim == 3 and np.all(np.isfinite(fused))
     assert main(["info", xml]) == 0
+    # round-2: the headless tuner + ICP refinement surface
+    assert main(["tune", xml, "--expected-points", "60"]) == 0
+    assert main(["icp-refine", xml]) == 0
