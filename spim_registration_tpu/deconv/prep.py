@@ -28,6 +28,10 @@ class DeconvolutionViews:
     weights: np.ndarray   # (V, Z, Y, X) normalized weights (sum_v <= 1)
     psfs: List[np.ndarray]  # per-view world-oriented PSFs
     osem_factor: float    # OSEM speedup (avg overlapping views)
+    # optional per-view exact CP factor banks (az, ay, ax) of `psfs` —
+    # from condition_psf(return_factors=True); the lowrank conv backend
+    # uses them verbatim instead of re-deriving a CP decomposition
+    psf_factors: Optional[List] = None
 
 
 def prepare_views_for_deconvolution(

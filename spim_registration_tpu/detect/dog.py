@@ -65,8 +65,7 @@ def effective_sigmas(params: DoGParameters) -> tuple:
     return (sz, s, s)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def _detect_device(vol: jnp.ndarray, params: DoGParameters):
+def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
     v = vol.astype(jnp.float32)
     if params.normalize:
         if params.min_intensity is not None and params.max_intensity is not None:
@@ -97,6 +96,35 @@ def _detect_device(vol: jnp.ndarray, params: DoGParameters):
     # trip on the remote-TPU tunnel (~27 ms), so 3 outputs -> 1
     return jnp.concatenate(
         [pos, val[:, None], ok.astype(jnp.float32)[:, None]], axis=1)
+
+
+_detect_device = partial(jax.jit, static_argnames=("params",))(_detect_impl)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _detect_device_batch(vols: jnp.ndarray, params: DoGParameters):
+    """Detect over a stacked (V, Z, Y, X) batch of same-shape views in ONE
+    device program (P2 per-view parallelism, SURVEY.md section 2.11):
+    `lax.map` runs the views sequentially inside the program — one
+    dispatch + one packed transfer for the whole batch, amortizing the
+    remote-tunnel round trip (~24 ms measured) across views."""
+    return jax.lax.map(lambda v: _detect_impl(v, params), vols)
+
+
+def detect_beads_batch(vols, params: DoGParameters = DoGParameters()):
+    """Detect interest points in a batch of same-shape views.
+
+    `vols`: (V, Z, Y, X) array (device-resident preferred). Returns a
+    list of (points (N,3), responses (N,)) per view — the multi-view
+    fast path of `detect_beads` (one dispatch for the whole batch).
+    """
+    packed = np.asarray(_detect_device_batch(jnp.asarray(vols), params))
+    out = []
+    for v in range(packed.shape[0]):
+        ok = packed[v, :, 4] > 0.5
+        out.append((packed[v, ok, :3].astype(np.float32),
+                    packed[v, ok, 3].astype(np.float32)))
+    return out
 
 
 def detect_beads(vol, params: DoGParameters = DoGParameters()):

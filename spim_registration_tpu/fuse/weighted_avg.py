@@ -142,8 +142,13 @@ def _fuse_chunk(gvols, gcweights, ginvs, gscales, gshifts, chunk_offset,
     `ginvs`/`gscales`/`gshifts` likewise carry the group's stacked maps.
     """
     nearest = params.interpolation == "nearest"
-    acc_v = jnp.zeros(chunk_shape, jnp.float32)
-    acc_w = jnp.zeros(chunk_shape, jnp.float32)
+    # derive the zero accumulators from chunk_offset so their shard_map
+    # "varying" axes match the scan body outputs when the offset comes
+    # from lax.axis_index (the sharded fusion path) — same pattern as
+    # ops/extrema.subpixel_localize
+    zero = jnp.float32(0) * chunk_offset[0]
+    acc_v = jnp.zeros(chunk_shape, jnp.float32) + zero
+    acc_w = jnp.zeros(chunk_shape, jnp.float32) + zero
     grid = output_grid_coords(chunk_shape, dtype=jnp.float32)
 
     for gi, (view_size, aligned, has_content) in enumerate(gspecs):
@@ -190,17 +195,11 @@ def _fuse_chunk(gvols, gcweights, ginvs, gscales, gshifts, chunk_offset,
     return jnp.where(acc_w > 1e-9, acc_v / jnp.maximum(acc_w, 1e-9), 0.0)
 
 
-def fuse_views(
-    volumes: Sequence[np.ndarray],
-    models: Sequence[np.ndarray],
-    bbox: BoundingBox,
-    params: FusionParameters = FusionParameters(),
-) -> np.ndarray:
-    """Fuse registered views into the bounding box; returns (Z,Y,X) f32.
-
-    `models[i]` maps view-i voxel coords to world coords (the concatenated
-    ViewDescription.model()).
-    """
+def _build_fusion_groups(volumes, models, bbox: BoundingBox,
+                         params: FusionParameters):
+    """Group views by static (shape, aligned, content) and stack each
+    group's arrays/maps (compile size O(groups), not O(views)). Returns
+    (out_shape, gspecs, gvols, gcw, ginvs, gscales, gshifts)."""
     ds = params.downsample
     out_shape = tuple(s // ds for s in bbox.shape)
     if any(s == 0 for s in out_shape):
@@ -224,8 +223,6 @@ def fuse_views(
         specs.append((tuple(int(s) for s in np.shape(vol)),
                       is_axis_aligned(M), has_content))
 
-    # group same-(shape, aligned, content) views: their stacked arrays
-    # scan in one program (compile size O(groups), not O(views))
     order = {}
     for i, sp in enumerate(specs):
         order.setdefault(sp, []).append(i)
@@ -241,6 +238,23 @@ def fuse_views(
             jnp.float32))
         gshifts.append(jnp.asarray(
             np.stack([invs_np[i][:, 3] for i in idxs]), jnp.float32))
+    return (out_shape, gspecs, tuple(gvols), tuple(gcw), tuple(ginvs),
+            tuple(gscales), tuple(gshifts))
+
+
+def fuse_views(
+    volumes: Sequence[np.ndarray],
+    models: Sequence[np.ndarray],
+    bbox: BoundingBox,
+    params: FusionParameters = FusionParameters(),
+) -> np.ndarray:
+    """Fuse registered views into the bounding box; returns (Z,Y,X) f32.
+
+    `models[i]` maps view-i voxel coords to world coords (the concatenated
+    ViewDescription.model()).
+    """
+    (out_shape, gspecs, gvols, gcw, ginvs, gscales,
+     gshifts) = _build_fusion_groups(volumes, models, bbox, params)
 
     out = np.zeros(out_shape, np.float32)
     zc = params.z_chunk or max(
@@ -251,8 +265,7 @@ def fuse_views(
         chunk_shape = (z1 - z0, out_shape[1], out_shape[2])
         # offset is in OUTPUT voxel units (the affine S handles world)
         offset = jnp.asarray([z0, 0.0, 0.0], jnp.float32)
-        chunk = _fuse_chunk(tuple(gvols), tuple(gcw), tuple(ginvs),
-                            tuple(gscales), tuple(gshifts), offset,
+        chunk = _fuse_chunk(gvols, gcw, ginvs, gscales, gshifts, offset,
                             gspecs, params, chunk_shape)
         out[z0:z1] = np.asarray(chunk)
     return out

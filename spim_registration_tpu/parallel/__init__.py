@@ -12,5 +12,6 @@ from spim_registration_tpu.parallel.sharded import (  # noqa: F401
     sharded_deconvolve,
     sharded_dog,
     sharded_fft_convolve,
+    sharded_fuse_views,
     sharded_gaussian_blur,
 )

@@ -169,6 +169,127 @@ def sharded_fft_convolve(vol, kernel, mesh: Mesh, axis_name: str = "z"):
     return run(vol, kernel)
 
 
+# ---------------------------------------------------------------- fusion
+
+def sharded_fuse_views(volumes, models, bbox, params=None,
+                       mesh: Optional[Mesh] = None, axis_name: str = "z"):
+    """Weighted-average fusion with the OUTPUT bounding box z-sharded over
+    the mesh (VERDICT r2 missing #2; SURVEY.md section 2.11 P1 — the
+    reference's `FusionHelper#divideIntoPortions`/`ImagePortion` thread
+    split, as a `shard_map` over the mesh z axis).
+
+    Each shard computes its own output z-slab with the SAME grouped-scan
+    program as the single-device `fuse_views` chunk loop: fusion reads
+    views (replicated in HBM) and writes disjoint output rows, so no
+    cross-shard communication is needed at all — the ideal scaling case.
+    Ragged output depths are handled by padding the slab grid up and
+    cropping (out-of-range rows fuse to 0 and are dropped), so ANY bbox
+    works on ANY mesh size. For views too large to replicate, compose
+    with the host-side streaming path (`fuse.streaming`), which feeds
+    sub-region blocks through the same kernels.
+
+    Seam-exactness vs `fuse_views` is tested on the 8-virtual-device CPU
+    mesh (tests/test_parallel.py).
+    """
+    from spim_registration_tpu.fuse.weighted_avg import (
+        FusionParameters,
+        _build_fusion_groups,
+        _fuse_chunk,
+    )
+
+    if params is None:
+        params = FusionParameters()
+    if mesh is None:
+        raise ValueError("sharded_fuse_views requires a mesh")
+
+    (out_shape, gspecs, gvols, gcw, ginvs, gscales,
+     gshifts) = _build_fusion_groups(volumes, models, bbox, params)
+    nz = mesh.shape[axis_name]
+    Z = out_shape[0]
+    zl = -(-Z // nz)  # ceil: ragged depths padded, cropped after
+    chunk_shape = (zl, out_shape[1], out_shape[2])
+
+    def f(gv, gc, gi, gs, gt):
+        idx = jax.lax.axis_index(axis_name)
+        offset = jnp.stack([idx.astype(jnp.float32) * zl,
+                            jnp.float32(0), jnp.float32(0)])
+        return _fuse_chunk(gv, gc, gi, gs, gt, offset, gspecs, params,
+                           chunk_shape)
+
+    run = jax.jit(shard_map(
+        f, mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(axis_name)))
+    out = run(gvols, gcw, ginvs, gscales, gshifts)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
+    return np.asarray(out)[:Z]
+
+
+# ------------------------------------------------------- lowrank (sharded)
+
+def _z_band_matrices(az: np.ndarray, zl: int) -> np.ndarray:
+    """(R, zl, zl+2h) Toeplitz band matrices for the z-shard conv pass.
+
+    Row i: out[i] = sum_j flip(az_r)[j] * xp[i + j] on the halo-extended
+    local block xp (zl + 2h rows, h = z half-support). Unlike the
+    single-device folded matrices (`ops.separable.folded_conv_matrices`),
+    NO mirror is folded in: `halo_exchange_z(boundary="mirror")` already
+    delivers true neighbor rows at shard seams and global-mirror rows at
+    the volume edges, so the band is translation-invariant and IDENTICAL
+    on every shard (no per-shard matrix slicing)."""
+    bank = np.asarray(az, np.float64)[:, ::-1]  # flip: true convolution
+    R, taps = bank.shape
+    T = np.zeros((R, zl, zl + taps - 1), np.float64)
+    for i in range(zl):
+        T[:, i, i:i + taps] = bank
+    return T
+
+
+def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None):
+    """Per-kernel sharded-lowrank entries mirroring the single-device
+    `deconv.lucy_richardson._folded_matrix_banks` contract:
+      {"mat": (Tz, My, Mx)} — z Toeplitz band + y/x mirror-folded
+        matrices, each with a leading quantization-phase axis, or
+      {"kernel": k} — missed `psf_rank_tol` at the escalated cap; the
+        caller converts it to the exact per-shard FFT path.
+    Returns (entries, rel_errs)."""
+    from spim_registration_tpu.deconv.lucy_richardson import (
+        _bf16_dither_stack,
+    )
+    from spim_registration_tpu.ops.separable import (
+        decompose_for_rl,
+        folded_conv_matrices,
+    )
+
+    dt = jnp.bfloat16 if params.lowrank_dtype == "bfloat16" else jnp.float32
+    phases = params.lowrank_dither_phases if dt == jnp.bfloat16 else 1
+    phases = max(int(phases), 1)
+    entries, errs = [], []
+    for i, k in enumerate(kernels):
+        fac = factors[i] if factors is not None else None
+        az, ay, ax, err = decompose_for_rl(
+            np.asarray(k, np.float64), params.psf_rank,
+            max_error=float("inf"), adapt_tol=params.psf_rank_tol,
+            rank_hard=params.psf_rank_hard, factors=fac)
+        errs.append(float(err))
+        if err > params.psf_rank_tol:
+            entries.append({"kernel": np.asarray(k, np.float32)})
+            continue
+        Tz = _z_band_matrices(az, zl)
+        _, My, Mx = folded_conv_matrices(az, ay, ax, img_shape,
+                                         dtype=np.float64)
+        triple = []
+        for M in (Tz, My, Mx):
+            stack = (_bf16_dither_stack(M, phases) if phases > 1
+                     else np.asarray(M, np.float32)[None])
+            triple.append(jnp.asarray(stack).astype(dt))
+        entries.append({"mat": tuple(triple)})
+    return entries, errs
+
+
 # ---------------------------------------------------------------- deconv
 
 def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
@@ -229,6 +350,25 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         k2 = _stack_factor_banks(
             [_fit(k) for k in k2s], params.psf_rank,
             params.psf_rank_max_error)
+    elif conv_backend == "lowrank":
+        if view_axis is not None:
+            raise ValueError(
+                "conv_backend='lowrank' shards over z only (per-view "
+                "adaptive ranks are unrolled per kernel, not stackable "
+                "across a view mesh axis); use 'fft'/'separable' for "
+                "view-axis sharding")
+        factors = getattr(prep, "psf_factors", None)
+        k1, errs1 = _sharded_lowrank_entries(
+            [np.asarray(p) for p in prep.psfs], (Z, Y, X), zl, params,
+            factors=factors)
+        k2, errs2 = _sharded_lowrank_entries(k2s, (Z, Y, X), zl, params)
+        # kernels that missed the tolerance at the escalated rank cap run
+        # on the exact per-shard FFT path (same per-kernel mix as the
+        # single-device engine); they use the common fshape/h below
+        for entries in (k1, k2):
+            for i, e in enumerate(entries):
+                if "kernel" in e:
+                    entries[i] = {"kernel": _fit(e["kernel"])}
     else:
         k1 = jnp.asarray(np.stack([_fit(np.asarray(p)) for p in prep.psfs]))
         k2 = jnp.asarray(np.stack([_fit(k) for k in k2s]))
@@ -236,6 +376,14 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
     h = kshape[0] // 2
     ry, rx = kshape[1] // 2, kshape[2] // 2
     fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
+
+    if conv_backend == "lowrank":
+        for entries in (k1, k2):
+            for i, e in enumerate(entries):
+                if "kernel" in e:
+                    entries[i] = {"fft": _prepare_local_kernel_fft(
+                        jnp.asarray(e["kernel"]), fshape)}
+        k1, k2 = tuple(k1), tuple(k2)
 
     osem = jnp.float32(params.osem_factor if params.osem_factor is not None
                        else prep.osem_factor)
@@ -261,6 +409,76 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         raise ValueError("view-axis sharding requires scheme='parallel' "
                          "(sequential OSEM is inherently view-serial)")
 
+    def _f_lowrank(psi, imgs, ws, k1e, k2e):
+        """Sharded mirror of the single-device lowrank engine
+        (`deconv.lucy_richardson._rl_iterate` lowrank branch): unrolled
+        per-view kernels with adaptive ranks, dithered-bf16 phase
+        schedule (_i + v), DELTA-form conv2 (1 + K2 (x) (q-1)), and
+        per-kernel exact-FFT fallback. The z pass consumes live
+        mirror-halo rows (band matrices); y/x passes are the same
+        mirror-folded matmuls as single-device, so the sharded result is
+        seam-exact vs the single-device engine (tests/test_parallel.py).
+        """
+        V = imgs.shape[0]
+        mats = [e["mat"] for e in list(k1e) + list(k2e) if "mat" in e]
+        n_phases = mats[0][0].shape[0] if mats else 1
+
+        def sel(triple, step):
+            if n_phases == 1:
+                return tuple(M[0] for M in triple)
+            p = jnp.mod(step, n_phases)
+            return tuple(
+                jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
+                for M in triple)
+
+        def conv_mat(x, triple):
+            Tz, My, Mx = triple
+            mid_t = Tz.dtype
+            hz = (Tz.shape[-1] - Tz.shape[-2]) // 2
+            xp = halo_exchange_z(x, hz, axis_name) if hz > 0 else x
+            a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
+                           preferred_element_type=mid_t)
+            b = jnp.einsum("rzpx,rnp->rznx", a, My,
+                           preferred_element_type=mid_t)
+            c = jnp.einsum("rzyp,rnp->rzyn", b, Mx,
+                           preferred_element_type=jnp.float32)
+            return jnp.sum(c, axis=0).astype(x.dtype)
+
+        def conv_k1(x, entry, step):
+            if "mat" in entry:
+                return conv_mat(x, sel(entry["mat"], step))
+            return local_conv(x, entry["fft"])
+
+        def conv2_minus_1(q, entry, step):
+            if "mat" in entry:
+                return conv_mat(q - 1.0, sel(entry["mat"], step))
+            return local_conv(q, entry["fft"]) - 1.0
+
+        def regularize(p):
+            if use_lam:
+                p = p / (1.0 + lam * p)
+            return jnp.maximum(p, minv)
+
+        def view_delta(p, v, step):
+            conv1 = conv_k1(p, k1e[v], step)
+            q = jnp.clip(imgs[v] / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+            return conv2_minus_1(q, k2e[v], step)
+
+        if scheme == "sequential":
+            def iteration(_i, p):
+                for v in range(V):
+                    d = view_delta(p, v, _i + v)
+                    p = regularize(p * (1.0 + osem * ws[v] * d))
+                return p
+        else:
+            def iteration(_i, p):
+                factor = jnp.float32(1.0)
+                for v in range(V):
+                    factor = factor + ws[v] * view_delta(p, v, _i + v)
+                return regularize(p * factor)
+
+        return jax.lax.fori_loop(0, n_iter, iteration, psi)
+
     def local_conv_sep(x, bank):
         """Sum-of-separable conv on a z-shard: z pass consumes exchanged
         halo rows, y/x passes mirror-pad locally. Factors are flipped so
@@ -281,6 +499,8 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
         return jnp.sum(jax.vmap(one_term)(az, ay, ax), axis=0)
 
     def f(psi, imgs, ws, k1_, k2_):
+        if conv_backend == "lowrank":
+            return _f_lowrank(psi, imgs, ws, k1_, k2_)
         if conv_backend == "separable":
             k1f, k2f = k1_, k2_
         else:

@@ -148,3 +148,57 @@ def test_resample_translation(rng):
     out, inside = resample_affine(jnp.asarray(vol), A, (8, 8, 8))
     np.testing.assert_allclose(np.asarray(out)[:7], vol[1:], rtol=1e-5)
     assert not bool(inside[7, 0, 0])
+
+
+def test_segmented_compact_topk_matches_two_stage(rng):
+    """The r3 sparse-compaction peak selection returns exactly the same
+    (value, index) set as the r2 two-stage top_k on sparse fields."""
+    from spim_registration_tpu.ops.extrema import (
+        _segmented_compact_topk,
+        _two_stage_topk,
+    )
+
+    n = 64 * 64 * 64
+    score = np.full(n, -np.inf, np.float32)
+    idx = rng.choice(n, size=500, replace=False)
+    score[idx] = rng.uniform(0.1, 1.0, 500).astype(np.float32)
+    s = jnp.asarray(score)
+    v1, i1 = _segmented_compact_topk(s, 256)
+    v2, i2 = _two_stage_topk(s, 256)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_segmented_compact_topk_overflow_guard(rng):
+    """A dense field (every segment holds > rounds candidates) must take
+    the exact fallback and still return the true top-k."""
+    from spim_registration_tpu.ops.extrema import _segmented_compact_topk
+
+    n = 4096
+    score = rng.uniform(0.0, 1.0, n).astype(np.float32)  # all finite
+    v, i = _segmented_compact_topk(jnp.asarray(score), 16)
+    ref = np.sort(score)[::-1][:16]
+    np.testing.assert_allclose(np.asarray(v), ref, rtol=1e-6)
+
+
+def test_detect_beads_batch_matches_single(rng):
+    """One-dispatch multi-view detection == per-view detection."""
+    from spim_registration_tpu.detect.dog import (
+        DoGParameters,
+        detect_beads,
+        detect_beads_batch,
+    )
+    from spim_registration_tpu.utils.simulation import render_beads
+
+    params = DoGParameters(sigma=1.6, threshold=0.01, max_peaks=256)
+    vols = []
+    for v in range(3):
+        r = np.random.default_rng(10 + v)
+        pts = r.uniform(6, 42, size=(25, 3))
+        vols.append(render_beads(pts, (48, 48, 48), sigma=1.5)
+                    + r.normal(0, 0.003, (48, 48, 48)).astype(np.float32))
+    batch = detect_beads_batch(np.stack(vols), params)
+    for v, vol in enumerate(vols):
+        p_ref, r_ref = detect_beads(vol, params)
+        np.testing.assert_allclose(batch[v][0], p_ref, atol=1e-6)
+        np.testing.assert_allclose(batch[v][1], r_ref, atol=1e-6)
