@@ -240,21 +240,42 @@ def cmd_register(args):
 
 def cmd_fuse(args):
     from spim_registration_tpu.core.imgloaders import save_tiff_stack
-    from spim_registration_tpu.fuse.weighted_avg import fuse_dataset
+    from spim_registration_tpu.fuse.bounding_box import maximal_bounding_box
+    from spim_registration_tpu.fuse.weighted_avg import fuse_views
 
     ds = _dataset_with_loader(args.xml)
     cfg = _load_config(args)
     for tp in ds.timepoints():
-        vids = [v.view_id for v in ds.views_of_timepoint(tp)]
-        out = fuse_dataset(ds, vids, params=cfg.fusion)
-        path = args.out.replace("{tp}", str(tp)) if "{tp}" in args.out \
-            else (args.out if len(ds.timepoints()) == 1
-                  else f"tp{tp}_{args.out}")
-        if path.endswith(".npy"):
-            np.save(path, out)
-        else:
-            save_tiff_stack(path, out)
-        print(f"tp {tp}: fused {out.shape} -> {path}")
+        views = ds.views_of_timepoint(tp)
+        vols = [ds.get_image(v.view_id) for v in views]
+        models = [v.model() for v in views]
+        bbox = maximal_bounding_box([v.shape for v in vols], models)
+        out = fuse_views(vols, models, bbox, cfg.fusion)
+        _export_volume(args, ds, out, tp, bbox, "fused")
+
+
+def _export_volume(args, ds, out, tp, bbox, what):
+    """Shared fuse/deconvolve export: TIFF / npy, or APPEND as a new
+    view setup into an existing BDV-HDF5 (+XML update) — the reference's
+    AppendSpimData2HDF5 export target (--append-hdf5)."""
+    from spim_registration_tpu.core.imgloaders import save_tiff_stack
+
+    if getattr(args, "append_hdf5", None):
+        from spim_registration_tpu.core.resave import append_fused_hdf5
+
+        vid = append_fused_hdf5(ds, args.append_hdf5, out, timepoint=tp,
+                                bbox=bbox, xml_path=args.xml)
+        print(f"tp {tp}: {what} {out.shape} appended as setup "
+              f"{vid[1]} -> {args.append_hdf5} (+{args.xml})")
+        return
+    n_tp = len(ds.timepoints())
+    path = args.out.replace("{tp}", str(tp)) if "{tp}" in args.out \
+        else (args.out if n_tp == 1 else f"tp{tp}_{args.out}")
+    if path.endswith(".npy"):
+        np.save(path, out)
+    else:
+        save_tiff_stack(path, out)
+    print(f"tp {tp}: {what} {out.shape} -> {path}")
 
 
 def cmd_deconvolve(args):
@@ -284,14 +305,7 @@ def cmd_deconvolve(args):
         bbox = maximal_bounding_box([v.shape for v in vols], models)
         prep = prepare_views_for_deconvolution(vols, models, psfs, bbox)
         out = deconvolve(prep, cfg.deconvolution)
-        path = args.out.replace("{tp}", str(tp)) if "{tp}" in args.out \
-            else (args.out if len(ds.timepoints()) == 1
-                  else f"tp{tp}_{args.out}")
-        if path.endswith(".npy"):
-            np.save(path, out)
-        else:
-            save_tiff_stack(path, out)
-        print(f"tp {tp}: deconvolved {out.shape} -> {path}")
+        _export_volume(args, ds, out, tp, bbox, "deconvolved")
 
 
 def cmd_tune(args):
@@ -515,12 +529,19 @@ def main(argv=None):
     sp = sub.add_parser("fuse")
     sp.add_argument("xml")
     sp.add_argument("--out", default="fused.tif")
+    sp.add_argument("--append-hdf5", metavar="H5",
+                    help="append output as a new view setup into this "
+                         "existing BDV-HDF5 (+XML update) instead of "
+                         "writing TIFF/npy")
     common(sp)
     sp.set_defaults(fn=cmd_fuse)
 
     sp = sub.add_parser("deconvolve")
     sp.add_argument("xml")
     sp.add_argument("--out", default="deconvolved.tif")
+    sp.add_argument("--append-hdf5", metavar="H5",
+                    help="append output as a new view setup into this "
+                         "existing BDV-HDF5 (+XML update)")
     common(sp)
     sp.set_defaults(fn=cmd_deconvolve)
 
@@ -555,6 +576,15 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    # persistent XLA compilation cache: production re-runs on identical
+    # shapes skip the (up to minutes-scale) TPU compile entirely; disable
+    # with SPIM_COMPILE_CACHE=0
+    if os.environ.get("SPIM_COMPILE_CACHE") != "0":
+        from spim_registration_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
     if getattr(args, "multihost", False):
         from spim_registration_tpu.parallel.multihost import (
             initialize_multihost,

@@ -9,6 +9,7 @@ ICI, and `psum` reductions — the ring-attention analog for huge volumes.
 from spim_registration_tpu.parallel.halo import halo_exchange_z  # noqa: F401
 from spim_registration_tpu.parallel.mesh import make_mesh  # noqa: F401
 from spim_registration_tpu.parallel.sharded import (  # noqa: F401
+    sharded_deconvolution_runner,
     sharded_deconvolve,
     sharded_dog,
     sharded_fft_convolve,

@@ -115,3 +115,44 @@ def test_resave_hdf5_pyramid(rng, tmp_path):
     assert l1.shape == (32, 32, 32)
     manual = big[(0, 1)][:2, :2, :2].mean()
     np.testing.assert_allclose(l1[0, 0, 0], manual, rtol=1e-4)
+
+
+def test_append_fused_hdf5_roundtrip(rng, tmp_path):
+    """AppendSpimData2HDF5 analog: a fused volume becomes a NEW view
+    setup of an existing BDV-HDF5 dataset — re-opened through the XML +
+    hdf5 loader, with the bbox offset on the transform chain."""
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.core.resave import append_fused_hdf5
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    ds, vols = _make_dataset(rng, tmp_path)
+    big = {k: rng.uniform(size=(64, 64, 64)).astype(np.float32)
+           for k in vols}
+    for vd in ds.views.values():
+        vd.size = (64, 64, 64)
+    ds.loader = memory_loader(big)
+    h5 = str(tmp_path / "data.h5")
+    resave_hdf5(ds, h5, max_levels=2)
+
+    fused = rng.uniform(size=(64, 80, 80)).astype(np.float32)
+    bbox = BoundingBox("fbb", (4, 8, 8), (68, 88, 88))
+    xml = str(tmp_path / "appended.xml")
+    vid = append_fused_hdf5(ds, h5, fused, timepoint=0, bbox=bbox,
+                            xml_path=xml)
+    # new setup id past the existing ones; original views still load
+    assert vid[1] == max(s for s in ds.setups() if s != vid[1]) + 1
+    np.testing.assert_allclose(ds.get_image((0, 1)), big[(0, 1)],
+                               atol=1e-6)
+    np.testing.assert_allclose(ds.get_image(vid), fused, atol=1e-6)
+
+    # round-trip through the saved XML + a fresh hdf5 loader
+    ds2 = load_dataset(xml)
+    assert vid in ds2.views
+    ds2.loader = hdf5_loader(h5)
+    np.testing.assert_allclose(ds2.get_image(vid), fused, atol=1e-6)
+    # the bbox-min offset sits on the transform chain
+    np.testing.assert_allclose(ds2.views[vid].model()[:, 3],
+                               [4.0, 8.0, 8.0])
+    # appended setup has its own mipmap pyramid
+    l1 = hdf5_loader(h5, level=1)(vid)
+    assert l1.shape == (32, 40, 40)
