@@ -126,6 +126,12 @@ class DeconvolutionParameters:
     # time-average effective kernel unbiased, leaving only oscillation
     # that RL contracts like noise. Costs memory only (no extra matmuls).
     lowrank_dither_phases: int = 4
+    # Fuse the y+x conv passes in a Pallas kernel (b/c intermediates
+    # never touch HBM — the XLA chain is HBM-bound at 256^3; see
+    # ops/pallas/lowrank_conv.py). Numerics mirror the XLA path (tested
+    # bit-identical for bf16 in interpret mode). Requires Z % 16 == 0;
+    # other shapes silently use the XLA chain.
+    lowrank_fused: bool = False
 
 
 def _mirror(k: np.ndarray) -> np.ndarray:
@@ -275,10 +281,12 @@ def compound_kernels(psfs: Sequence[np.ndarray], psf_type: PSFType
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "fft_shape",
-                                   "img_shape", "scheme", "conv_backend"))
+                                   "img_shape", "scheme", "conv_backend",
+                                   "lowrank_fused"))
 def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
                 min_value, num_iterations, fft_shape, img_shape,
-                scheme="sequential", conv_backend="fft"):
+                scheme="sequential", conv_backend="fft",
+                lowrank_fused=False):
     """The whole deconvolution as one XLA program.
 
     k1_ffts / k2_ffts: per-view kernels with leading view axis — stacked
@@ -322,7 +330,22 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
         # Entries are dicts: {"mat": triple} runs the folded-matmul path;
         # {"fft": spectrum} is the per-kernel exact-FFT fallback (kernels
         # that missed psf_rank_tol even at the escalated rank cap).
-        from spim_registration_tpu.ops.separable import conv_lowrank_folded
+        from spim_registration_tpu.ops.separable import (
+            conv_lowrank_folded as _conv_xla,
+        )
+
+        if lowrank_fused and img_shape[0] % 16 == 0:
+            from spim_registration_tpu.ops.pallas.lowrank_conv import (
+                conv_lowrank_folded_fused,
+            )
+
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+
+            def conv_lowrank_folded(x, Mz, My, Mx):
+                return conv_lowrank_folded_fused(x, Mz, My, Mx,
+                                                 interpret=interp)
+        else:
+            conv_lowrank_folded = _conv_xla
 
         V = len(k1_ffts)
         mat_entries = [e["mat"] for e in list(k1_ffts) + list(k2_ffts)
@@ -504,7 +527,8 @@ class DeconvolutionRunner:
             jnp.float32(self.params.min_value * self.avg),
             n, self.fft_shape, self.img_shape,
             scheme=self.params.scheme,
-            conv_backend=self.params.conv_backend)
+            conv_backend=self.params.conv_backend,
+            lowrank_fused=self.params.lowrank_fused)
 
     def run_checkpointed(self, checkpoint_every: int,
                          checkpoint_fn=None,

@@ -82,15 +82,18 @@ def match_pairs_batched(
         jnp.asarray(padded[ib]), jnp.asarray(vb),
         params)
 
-    j = np.asarray(j)
-    ok = np.asarray(ok)
-    inl = np.asarray(res.inlier_mask)
+    # ONE device->host transfer for the whole batch: indexing the device
+    # arrays per pair would cost a ~24 ms dispatch round trip PER FIELD
+    # PER PAIR on the remote-TPU tunnel (measured ~4 s of pure latency
+    # for 28 pairs in round 2 — this WAS the matching "steady state")
+    j, ok, res = jax.device_get((j, ok, res))
+    inl = res.inlier_mask
     out: Dict[Tuple[int, int], PairwiseResult] = {}
     for k, pair in enumerate(pairs):
         cand_idx = np.nonzero(ok[k])[0]
         inlier_idx = np.nonzero(inl[k])[0]
         out[pair] = PairwiseResult(
-            model=np.asarray(res.model[k]),
+            model=res.model[k],
             candidates=np.stack([cand_idx, j[k][cand_idx]], axis=1),
             inliers=np.stack([inlier_idx, j[k][inlier_idx]], axis=1),
             num_candidates=int(res.num_candidates[k]),

@@ -152,15 +152,16 @@ def match_pair(points_a: np.ndarray, points_b: np.ndarray,
     pb, vb = _pad(points_b, n)
     j, ok, res = _match_device(jax.random.PRNGKey(seed), pa, va, pb, vb,
                                params)
-    j = np.asarray(j)
-    ok = np.asarray(ok)
-    inl = np.asarray(res.inlier_mask)
+    # one transfer for all result fields (each scalar read is a full
+    # dispatch round trip on the remote-TPU tunnel)
+    j, ok, res = jax.device_get((j, ok, res))
+    inl = res.inlier_mask
     ia = np.nonzero(ok)[0]
     cand = np.stack([ia, j[ia]], axis=1)
     ii = np.nonzero(inl)[0]
     inliers = np.stack([ii, j[ii]], axis=1)
     return PairwiseResult(
-        model=np.asarray(res.model),
+        model=res.model,
         candidates=cand,
         inliers=inliers,
         num_candidates=int(res.num_candidates),

@@ -1,0 +1,93 @@
+"""Fused y+x passes of the lowrank (folded-matmul) convolution.
+
+The XLA path (`ops.separable.conv_lowrank_folded`) runs three chained
+stacked matmuls and materializes BOTH intermediates in HBM:
+
+    a = Mz . vol   (write R*n^3)
+    b = My . a     (read + write R*n^3)
+    c = Mx . b     (read + write R*n^3)  -> sum_r c
+
+At 256^3 the chain is HBM-bound (arithmetic intensity ~n/4 < the v5e
+ridge), so the intermediates dominate. This kernel fuses the y and x
+passes: the z pass stays one big XLA matmul (it reads `vol` once), laid
+out as a[r, y, z, x]; the kernel then streams z-blocks of `a` through
+VMEM, applying My and Mx back-to-back per rank term and accumulating
+the rank sum on-chip — b and c never touch HBM, and the output is
+written exactly once. Traffic drops from ~6*R*n^3 to ~2*R*n^3 elements.
+
+Numerics mirror the XLA path: bf16 (or f32) matrices, f32 matmul
+accumulation, intermediate cast back to the matrix dtype between the
+two fused matmuls, rank sum in f32. The dithered-quantization phase
+axis is selected OUTSIDE (the engine passes already-selected (R, n, n)
+matrices).
+
+Layout note: blocks are (Y, TZ, X) so both fused contractions are
+single large MXU matmuls — (Y_out, Y) @ (Y, TZ*X) then
+(Y_out*TZ, X) @ (X, X_out) — instead of TZ small per-row products; the
+final (Y, Z, X) -> (Z, Y, X) transpose is one fused XLA pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_yx_kernel(a_ref, my_ref, mxt_ref, o_ref):
+    """One (z-block, rank) grid step: o[Y, TZ, X] += Mx-pass(My-pass(a))."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = a_ref[0]                     # (Y, TZ, X) matrix dtype
+    my = my_ref[0]                   # (Y_out, Y)
+    mxt = mxt_ref[0]                 # (X, X_out)
+    Y, TZ, X = a.shape
+    b = jnp.dot(my, a.reshape(Y, TZ * X),
+                preferred_element_type=jnp.float32)
+    b = b.astype(a.dtype).reshape(my.shape[0] * TZ, X)
+    c = jnp.dot(b, mxt, preferred_element_type=jnp.float32)
+    o_ref[:] += c.reshape(my.shape[0], TZ, mxt.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("tz", "interpret"))
+def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
+                              My: jnp.ndarray, Mx: jnp.ndarray,
+                              tz: int = 16,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
+    passes fused in Pallas. Requires Z % tz == 0 (the engine falls back
+    to the XLA path otherwise)."""
+    Z, Y, X = vol.shape
+    R = Mz.shape[0]
+    if Z % tz:
+        raise ValueError(f"Z={Z} not divisible by z-block {tz}")
+    mid = Mz.dtype
+    # z pass (XLA): a[r, y, z, x] = sum_p Mz[r, z, p] vol[p, y, x]
+    a = jnp.einsum("rnp,pyx->rynx", Mz, vol.astype(mid),
+                   preferred_element_type=mid)
+    mxt = jnp.swapaxes(Mx, 1, 2)
+
+    out = pl.pallas_call(
+        _fused_yx_kernel,
+        grid=(Z // tz, R),
+        in_specs=[
+            pl.BlockSpec((1, Y, tz, X), lambda zb, r: (r, 0, zb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, Y), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, X, X), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Y, tz, X), lambda zb, r: (0, zb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Y, Z, X), jnp.float32),
+        interpret=interpret,
+    )(a, My, mxt)
+    return jnp.swapaxes(out, 0, 1).astype(vol.dtype)

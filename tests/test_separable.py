@@ -194,3 +194,38 @@ def test_rl_separable_matches_fft(rng):
     # both reconstruct the truth; the two backends agree closely
     assert nrmse(out_s, truth) < nrmse(np.mean(views, axis=0), truth)
     assert nrmse(out_s, out_f) < 0.02, nrmse(out_s, out_f)
+
+
+def test_rl_lowrank_fused_matches_xla_path(rng):
+    """The Pallas-fused lowrank engine (interpret mode on CPU) matches
+    the XLA-chain lowrank engine on the same inputs."""
+    import dataclasses
+
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.deconv import (
+        DeconvolutionParameters,
+        DeconvolutionRunner,
+        gaussian_psf,
+        prepare_views_for_deconvolution,
+    )
+    from spim_registration_tpu.ops.fftconv import direct_convolve_np
+    from synth import render_beads
+
+    shape = (32, 24, 24)
+    pts = rng.uniform(6, 18, size=(8, 3)) * np.array([1.5, 1, 1])
+    truth = render_beads(pts, shape, sigma=1.1)
+    psfs = [gaussian_psf((9, 9, 9), (2.0, 1.0, 1.4)),
+            gaussian_psf((9, 9, 9), (1.0, 1.3, 2.0))]
+    views = [direct_convolve_np(truth, p).astype(np.float32) for p in psfs]
+    ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    prep = prepare_views_for_deconvolution(
+        views, [ident, ident], psfs, BoundingBox("b", (0, 0, 0), shape))
+    params = DeconvolutionParameters(num_iterations=3,
+                                     psf_type="efficient_bayesian",
+                                     conv_backend="lowrank", psf_rank=8,
+                                     psf_rank_tol=1e-3, psf_rank_hard=16)
+    ref = np.asarray(DeconvolutionRunner(prep, params).run())
+    fused = np.asarray(DeconvolutionRunner(
+        prep, dataclasses.replace(params, lowrank_fused=True)).run())
+    nrmse = np.sqrt(np.mean((fused - ref) ** 2)) / (ref.max() - ref.min())
+    assert nrmse < 1e-6, nrmse
