@@ -90,7 +90,28 @@ def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
     coords, resp, valid = find_peaks(
         dog, params.threshold, params.max_peaks, params.find_minima
     )
-    pos, val, ok = subpixel_localize(dog, coords, valid)
+    # two-tier subpixel refinement: peaks are sorted descending, so when
+    # the VALID count fits in the hot slice, the 27-point iterative
+    # gathers run on 2048 rows instead of the full max_peaks budget
+    # (latency-bound random gathers); lax.cond falls back to the full
+    # budget otherwise — exact either way (mirrors find_peaks hot_k).
+    P = coords.shape[0]
+    kh = min(2048, P)
+    if kh < P:
+        count = jnp.sum(valid.astype(jnp.int32))
+
+        def small():
+            p, vv, o = subpixel_localize(dog, coords[:kh], valid[:kh])
+            pad = P - kh
+            return (jnp.pad(p, ((0, pad), (0, 0))),
+                    jnp.pad(vv, (0, pad)),
+                    jnp.pad(o, (0, pad)))
+
+        pos, val, ok = jax.lax.cond(
+            count <= kh, small,
+            lambda: subpixel_localize(dog, coords, valid))
+    else:
+        pos, val, ok = subpixel_localize(dog, coords, valid)
     pos = upscale_coords(pos, factors)
     # pack into ONE array: each host transfer costs a full dispatch round
     # trip on the remote-TPU tunnel (~27 ms), so 3 outputs -> 1

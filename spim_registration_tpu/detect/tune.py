@@ -27,14 +27,20 @@ def sweep_detection(vol: np.ndarray,
     if normalize:
         lo, hi = jnp.min(v), jnp.max(v)
         v = (v - lo) / jnp.maximum(hi - lo, 1e-12)
-    out: Dict[Tuple[float, float], int] = {}
+    counts = []
     for s in sigmas:
         s1, s2, norm = dog_sigmas(float(s), 0.0)
         dog = difference_of_gaussian(v, s1, s2) * jnp.float32(norm)
         mask = local_extrema_mask(dog)
         resp = jnp.where(mask, dog, 0.0)
-        for t in thresholds:
-            out[(float(s), float(t))] = int(jnp.sum(resp >= t))
+        counts.append(jnp.stack([jnp.sum(resp >= t) for t in thresholds]))
+    # single device->host transfer for the whole grid (each scalar read
+    # costs a full dispatch round trip on the remote-TPU tunnel)
+    grid = np.asarray(jnp.stack(counts))
+    out: Dict[Tuple[float, float], int] = {}
+    for i, s in enumerate(sigmas):
+        for k, t in enumerate(thresholds):
+            out[(float(s), float(t))] = int(grid[i, k])
     return out
 
 

@@ -84,10 +84,12 @@ def icp_refine(points_a: np.ndarray, points_b: np.ndarray,
             if initial_model is not None
             else np.concatenate([np.eye(3), np.zeros((3, 1))],
                                 axis=1).astype(np.float32))
-    A, idx, ok, err, it = _icp_device(
+    out = _icp_device(
         jnp.asarray(pa), jnp.asarray(va), jnp.asarray(pb), jnp.asarray(vb),
         jnp.asarray(init), params)
-    idx, ok = np.asarray(idx), np.asarray(ok)
+    # one transfer for all outputs (scalar reads are full round trips
+    # on the remote-TPU tunnel)
+    A, idx, ok, err, it = jax.device_get(out)
     ia = np.nonzero(ok)[0]
     matches = np.stack([ia, idx[ia]], axis=1)
-    return np.asarray(A), matches, float(err), int(it)
+    return A, matches, float(err), int(it)

@@ -167,13 +167,20 @@ def _two_stage_topk(score, k, k1=64, row=4096):
     return jax.lax.cond(overflow, exact, fast, operand=None)
 
 
-@partial(jax.jit, static_argnames=("max_peaks", "find_minima"))
+@partial(jax.jit, static_argnames=("max_peaks", "find_minima", "hot_k"))
 def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
-               find_minima: bool = False):
+               find_minima: bool = False, hot_k: int = 2048):
     """Top-`max_peaks` strict extrema with |response| >= threshold.
 
     Returns (coords (P,3) int32, response (P,), valid (P,) bool) — static
     shapes; invalid rows are zero.
+
+    `hot_k`: candidate rows are sorted descending, so when the candidate
+    COUNT fits in `hot_k`, the strictness 27-gather runs on that slice
+    only (random gathers on a 16M-element field are latency-bound; bead
+    scenes hold a few hundred candidates in an 8192-row budget). An
+    in-program `lax.cond` falls back to the full-budget gather whenever
+    the count exceeds `hot_k` — results are exact either way.
     """
     z, y, x = dog.shape
     n = z * y * x
@@ -193,12 +200,25 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
     # strictness: center strictly greater (smaller) than all 26 neighbors
     flat = dog.reshape(-1)
     idx = jnp.clip(idx, 0, n - 1)
-    nb = _gather27(flat, idx, y * x, x)
-    center = nb[:, 13]
-    others = jnp.concatenate([nb[:, :13], nb[:, 14:]], axis=1)
-    strict = jnp.all(center[:, None] > others, axis=1)
-    if find_minima:
-        strict |= jnp.all(center[:, None] < others, axis=1)
+
+    def strict_of(rows_idx):
+        nb = _gather27(flat, rows_idx, y * x, x)
+        center = nb[:, 13]
+        others = jnp.concatenate([nb[:, :13], nb[:, 14:]], axis=1)
+        s = jnp.all(center[:, None] > others, axis=1)
+        if find_minima:
+            s |= jnp.all(center[:, None] < others, axis=1)
+        return s
+
+    kh = min(hot_k, max_peaks)
+    if kh < max_peaks:
+        count = jnp.sum(valid.astype(jnp.int32))
+        strict = jax.lax.cond(
+            count <= kh,
+            lambda: jnp.pad(strict_of(idx[:kh]), (0, max_peaks - kh)),
+            lambda: strict_of(idx))
+    else:
+        strict = strict_of(idx)
     valid &= strict
 
     zz, yy, xx = jnp.unravel_index(idx, dog.shape)

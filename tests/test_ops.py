@@ -202,3 +202,31 @@ def test_detect_beads_batch_matches_single(rng):
         p_ref, r_ref = detect_beads(vol, params)
         np.testing.assert_allclose(batch[v][0], p_ref, atol=1e-6)
         np.testing.assert_allclose(batch[v][1], r_ref, atol=1e-6)
+
+
+def test_find_peaks_hot_slice_fallback(rng):
+    """The hot-slice strictness/subpixel tiering must be exact: force
+    the fallback by setting hot_k below the candidate count and compare
+    against the default path."""
+    from spim_registration_tpu.detect.dog import DoGParameters, detect_beads
+    from spim_registration_tpu.ops.extrema import find_peaks
+    from spim_registration_tpu.ops.gaussian import difference_of_gaussian
+    from spim_registration_tpu.utils.simulation import render_beads
+
+    r = np.random.default_rng(3)
+    pts = r.uniform(5, 43, size=(60, 3))
+    vol = render_beads(pts, (48, 48, 48), sigma=1.4).astype(np.float32)
+    dog = difference_of_gaussian(jnp.asarray(vol), (1.6,) * 3, (1.9,) * 3)
+    # hot_k=4 << 60 candidates -> fallback branch; hot_k large -> hot path
+    c1, r1, v1 = find_peaks(dog, 1e-4, 256, hot_k=4)
+    c2, r2, v2 = find_peaks(dog, 1e-4, 256, hot_k=256)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    # end-to-end: max_peaks > 2048 engages the subpixel hot tier; peaks
+    # must match a small-budget run that skips it
+    p_big, _ = detect_beads(vol, DoGParameters(sigma=1.6, threshold=0.01,
+                                               max_peaks=4096))
+    p_small, _ = detect_beads(vol, DoGParameters(sigma=1.6, threshold=0.01,
+                                                 max_peaks=1024))
+    np.testing.assert_allclose(p_big, p_small, atol=1e-6)
