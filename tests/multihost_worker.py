@@ -88,8 +88,34 @@ def main():
                                       scheme="parallel"),
         mesh_hz, axis_name="z", view_axis="host")
 
+    # (c) z-sharded LOWRANK RL crossing the host boundary (r3: band
+    # z-matmuls consume halo rows hopped over DCN)
+    out_c = sharded_deconvolve(
+        prep, DeconvolutionParameters(num_iterations=2,
+                                      psf_type="independent",
+                                      conv_backend="lowrank", psf_rank=4,
+                                      psf_rank_tol=1e-3, psf_rank_hard=8),
+        mesh_flat)
+
+    # (d) output-z-sharded weighted-average fusion across both hosts
+    # (ragged depth: pad+crop), gathered back via process_allgather
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.fuse.weighted_avg import FusionParameters
+    from spim_registration_tpu.parallel.sharded import sharded_fuse_views
+    from spim_registration_tpu.utils.simulation import make_multiview_scene
+
+    scene = make_multiview_scene(
+        np.random.default_rng(3), n_views=2, shape=(24, 24, 24),
+        n_beads=8, noise=0.002)
+    out_d = sharded_fuse_views(
+        scene.volumes, scene.models,
+        BoundingBox("b", (0, 0, 0), (23, 24, 24)),
+        FusionParameters(), mesh=mesh_flat)
+    assert out_d.shape == (23, 24, 24)
+
     if pid == 0:
-        np.savez(out_path, out_a=out_a, out_b=out_b)
+        np.savez(out_path, out_a=out_a, out_b=out_b, out_c=out_c,
+                 out_d=out_d)
     # all processes must reach here together
     from jax.experimental import multihost_utils
 

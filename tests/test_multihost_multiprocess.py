@@ -78,3 +78,27 @@ def test_two_process_distributed_rl(tmp_path):
                                atol=1e-4 * ref_seq.max())
     np.testing.assert_allclose(out_b, ref_par, rtol=5e-4,
                                atol=1e-4 * ref_par.max())
+
+    # (c) lowrank backend across the host boundary == single-process
+    # lowrank engine (r3)
+    ref_lr = deconvolve(prep, DeconvolutionParameters(
+        num_iterations=2, psf_type="independent", conv_backend="lowrank",
+        psf_rank=4, psf_rank_tol=1e-3, psf_rank_hard=8))
+    np.testing.assert_allclose(data["out_c"], ref_lr, rtol=5e-4,
+                               atol=1e-4 * ref_lr.max())
+
+    # (d) cross-host z-sharded fusion == single-device fuse_views (r3)
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.fuse.weighted_avg import (
+        FusionParameters,
+        fuse_views,
+    )
+    from spim_registration_tpu.utils.simulation import make_multiview_scene
+
+    scene = make_multiview_scene(
+        np.random.default_rng(3), n_views=2, shape=(24, 24, 24),
+        n_beads=8, noise=0.002)
+    ref_fuse = fuse_views(scene.volumes, scene.models,
+                          BoundingBox("b", (0, 0, 0), (23, 24, 24)),
+                          FusionParameters())
+    np.testing.assert_allclose(data["out_d"], ref_fuse, atol=2e-6)
