@@ -37,8 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fused_yx_kernel(a_ref, my_ref, mxt_ref, o_ref):
-    """One (z-block, rank) grid step: o[Y, TZ, X] += Mx-pass(My-pass(a))."""
+def _fused_yx_kernel_wide(a_ref, my_ref, mxt_ref, o_ref):
+    """One (z-block, rank) grid step: o[Y, TZ, X] += Mx-pass(My-pass(a)).
+
+    The fast form: both contractions are single large MXU matmuls via a
+    (Y, TZ, X) -> (Y, TZ*X) collapse. Mosaic's vector reshape supports
+    collapsing into the lane dim only when X is 128-aligned — callers
+    must route other shapes to the row kernel below."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -56,6 +61,81 @@ def _fused_yx_kernel(a_ref, my_ref, mxt_ref, o_ref):
     o_ref[:] += c.reshape(my.shape[0], TZ, mxt.shape[1])
 
 
+def _fused_yx_kernel_rows(a_ref, my_ref, mxt_ref, o_ref):
+    """Reshape-free variant for lane-unaligned X (e.g. 192^3): a static
+    unroll of TZ 2D matmul pairs. ~3x slower than the wide kernel's two
+    big matmuls but compiles for any 8-padded extent, and still skips
+    the HBM round-trips of the XLA chain."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    my = my_ref[0]                   # (Y_out, Y)
+    mxt = mxt_ref[0]                 # (X, X_out)
+    TZ = a_ref.shape[2]
+    for t in range(TZ):
+        a_t = a_ref[0, :, t, :]      # (Y, X) matrix dtype
+        b_t = jnp.dot(my, a_t, preferred_element_type=jnp.float32)
+        b_t = b_t.astype(a_t.dtype)
+        c_t = jnp.dot(b_t, mxt, preferred_element_type=jnp.float32)
+        o_ref[:, t, :] += c_t
+
+
+@functools.partial(jax.jit, static_argnames=("tz", "interpret"))
+def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
+                   tz: int = 16, interpret: bool = False) -> jnp.ndarray:
+    """Apply the fused y then x folded matmuls + rank sum to a
+    z-pass output laid out as a[r, y, z, x]. Returns (Z, Y_out, X_out)
+    f32. Requires Z % tz == 0. Shared by the single-device fused conv
+    and the z-sharded engine (whose z pass is band matmuls over halos —
+    the y/x passes are shard-local and identical)."""
+    R, Y, Z, X = a.shape
+    mxt = jnp.swapaxes(Mx, 1, 2)
+    kernel = (_fused_yx_kernel_wide if X % 128 == 0
+              else _fused_yx_kernel_rows)
+    # under shard_map (sharded engine) the out aval must carry the
+    # varying-mesh-axes set; outside one this is the empty frozenset
+    vma = getattr(jax.typeof(a), "vma", frozenset())
+    out = pl.pallas_call(
+        kernel,
+        grid=(Z // tz, R),
+        in_specs=[
+            pl.BlockSpec((1, Y, tz, X), lambda zb, r: (r, 0, zb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, My.shape[1], Y), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((My.shape[1], tz, mxt.shape[2]),
+                               lambda zb, r: (0, zb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((My.shape[1], Z, mxt.shape[2]),
+                                       jnp.float32, vma=vma),
+        interpret=interpret,
+    )(a, My, mxt)
+    return jnp.swapaxes(out, 0, 1)
+
+
+@jax.jit
+def fused_yx_reference(a: jnp.ndarray, My: jnp.ndarray,
+                       Mx: jnp.ndarray) -> jnp.ndarray:
+    """Numerics-identical XLA emulation of `fused_yx_apply` (f32 matmul
+    accumulation, intermediate cast back to the matrix dtype, rank sum
+    in f32). Used off-TPU inside shard_map, where interpret-mode Pallas
+    trips a JAX vma bug (dynamic_slice varying-axes mismatch); the true
+    kernel is interpret-tested single-device in tests/test_separable.py."""
+    b = jnp.einsum("ryzx,rny->rnzx", a.astype(jnp.float32),
+                   My.astype(jnp.float32))
+    b = b.astype(My.dtype)
+    c = jnp.einsum("ryzx,rxn->ryzn", b.astype(jnp.float32),
+                   jnp.swapaxes(Mx, 1, 2).astype(jnp.float32))
+    out = jnp.sum(c, axis=0)            # (Y_out, Z, X_out) f32
+    return jnp.swapaxes(out, 0, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("tz", "interpret"))
 def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
                               My: jnp.ndarray, Mx: jnp.ndarray,
@@ -65,29 +145,11 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
     passes fused in Pallas. Requires Z % tz == 0 (the engine falls back
     to the XLA path otherwise)."""
     Z, Y, X = vol.shape
-    R = Mz.shape[0]
     if Z % tz:
         raise ValueError(f"Z={Z} not divisible by z-block {tz}")
     mid = Mz.dtype
     # z pass (XLA): a[r, y, z, x] = sum_p Mz[r, z, p] vol[p, y, x]
     a = jnp.einsum("rnp,pyx->rynx", Mz, vol.astype(mid),
                    preferred_element_type=mid)
-    mxt = jnp.swapaxes(Mx, 1, 2)
-
-    out = pl.pallas_call(
-        _fused_yx_kernel,
-        grid=(Z // tz, R),
-        in_specs=[
-            pl.BlockSpec((1, Y, tz, X), lambda zb, r: (r, 0, zb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Y, Y), lambda zb, r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, X, X), lambda zb, r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((Y, tz, X), lambda zb, r: (0, zb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Y, Z, X), jnp.float32),
-        interpret=interpret,
-    )(a, My, mxt)
-    return jnp.swapaxes(out, 0, 1).astype(vol.dtype)
+    out = fused_yx_apply(a, My, Mx, tz=tz, interpret=interpret)
+    return out.astype(vol.dtype)

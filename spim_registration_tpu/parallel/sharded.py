@@ -458,11 +458,38 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                 jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
                 for M in triple)
 
+        # The y/x passes are shard-local and identical to the
+        # single-device fused Pallas kernel's (the z pass differs: band
+        # matrices over live halos). On real TPUs with 16-aligned shard
+        # depth, fuse them (b/c intermediates stay in VMEM, ~3x the XLA
+        # chain — see ops/pallas/lowrank_conv.py).
+        from spim_registration_tpu.deconv.lucy_richardson import (
+            resolve_lowrank_fused,
+        )
+
+        fuse_yx = resolve_lowrank_fused(
+            getattr(params, "lowrank_fused", "auto"))
+        # explicit True off-TPU = numerics check via interpret mode
+        _interp = jax.devices()[0].platform not in ("tpu", "axon")
+
         def conv_mat(x, triple):
             Tz, My, Mx = triple
             mid_t = Tz.dtype
             hz = (Tz.shape[-1] - Tz.shape[-2]) // 2
             xp = halo_exchange_z(x, hz, axis_name) if hz > 0 else x
+            # x.shape is the LOCAL shard shape at shard_map trace time
+            if fuse_yx and x.shape[0] % 16 == 0:
+                from spim_registration_tpu.ops.pallas.lowrank_conv import (
+                    fused_yx_apply,
+                    fused_yx_reference,
+                )
+
+                a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
+                               preferred_element_type=mid_t)
+                ay = jnp.swapaxes(a, 1, 2)
+                if _interp:  # off-TPU: numerics-identical XLA emulation
+                    return fused_yx_reference(ay, My, Mx).astype(x.dtype)
+                return fused_yx_apply(ay, My, Mx).astype(x.dtype)
             a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                            preferred_element_type=mid_t)
             b = jnp.einsum("rzpx,rnp->rznx", a, My,

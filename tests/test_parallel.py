@@ -5,6 +5,8 @@ single-device result to float tolerance (the reference never had such
 tests; SURVEY.md section 4 implication (4)).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -360,6 +362,27 @@ def test_sharded_lowrank_rejects_view_axis(rng):
             DeconvolutionParameters(conv_backend="lowrank",
                                     scheme="parallel"),
             mesh2, view_axis="view")
+
+
+def test_sharded_lowrank_fused_yx_matches_single_device(rng):
+    """The sharded lowrank engine with the Pallas fused y/x passes
+    (lowrank_fused=True -> interpret mode on CPU; the shard-local y/x
+    matmuls are identical to the single-device fused kernel's) matches
+    the single-device engine. Local depth 32/2=16 hits the Z%16==0
+    fused gate on every shard."""
+    prep = _lowrank_prep(rng)
+    params = DeconvolutionParameters(num_iterations=3,
+                                     psf_type="efficient_bayesian",
+                                     conv_backend="lowrank", psf_rank=12,
+                                     psf_rank_tol=1e-4, psf_rank_hard=24,
+                                     lowrank_fused=True)
+    mesh = make_mesh(("z",), (2,))
+    out_sharded = sharded_deconvolve(prep, params, mesh)
+    out_single = deconvolve(
+        prep, dataclasses.replace(params, lowrank_fused=False))
+    nrmse = np.sqrt(np.mean((out_sharded - out_single) ** 2)) \
+        / (out_single.max() - out_single.min())
+    assert nrmse < 2e-5, nrmse
 
 
 def _fusion_scene(rng, shape=(40, 28, 28), n_views=3):
