@@ -65,7 +65,18 @@ def effective_sigmas(params: DoGParameters) -> tuple:
     return (sz, s, s)
 
 
-def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
+# rows actually shipped to the host per view: peak lists are sorted by
+# |response|, so when the valid count fits, only this many rows carry
+# information — the (max_peaks, 5) packed array is mostly zeros, and on
+# the remote-TPU tunnel the D2H transfer dominated the whole detection
+# wall (~40 of 96 ms for 8 views at the 8192 budget, measured r3). The
+# count travels in-band (row 0); overflow falls back to the full-budget
+# program (exactness preserved, just slower — and only for scenes with
+# more than HOT_ROWS peaks in one view).
+HOT_ROWS = 2048
+
+
+def _detect_core(vol: jnp.ndarray, params: DoGParameters):
     v = vol.astype(jnp.float32)
     if params.normalize:
         if params.min_intensity is not None and params.max_intensity is not None:
@@ -87,18 +98,23 @@ def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
     s1 = (sz, sy, sx)
     s2 = tuple(s * k for s in s1)
     dog = difference_of_gaussian(v, s1, s2) * jnp.float32(norm)
-    coords, resp, valid = find_peaks(
-        dog, params.threshold, params.max_peaks, params.find_minima
+    coords, resp, valid, cand_count = find_peaks(
+        dog, params.threshold, params.max_peaks, params.find_minima,
+        return_count=True,
     )
-    # two-tier subpixel refinement: peaks are sorted descending, so when
-    # the VALID count fits in the hot slice, the 27-point iterative
-    # gathers run on 2048 rows instead of the full max_peaks budget
-    # (latency-bound random gathers); lax.cond falls back to the full
-    # budget otherwise — exact either way (mirrors find_peaks hot_k).
+    # two-tier subpixel refinement: rows are sorted descending by
+    # |response|, so when the CANDIDATE count fits in the hot slice, all
+    # valid rows do too and the 27-point iterative gathers run on 2048
+    # rows instead of the full max_peaks budget (latency-bound random
+    # gathers); lax.cond falls back to the full budget otherwise — exact
+    # either way (mirrors find_peaks hot_k). The gate must be the
+    # candidate count, NOT the valid count: strictness-rejected rows
+    # interleave with valid ones in sort order, so a small valid count
+    # does not by itself bound the last valid row's index.
     P = coords.shape[0]
     kh = min(2048, P)
     if kh < P:
-        count = jnp.sum(valid.astype(jnp.int32))
+        count = cand_count
 
         def small():
             p, vv, o = subpixel_localize(dog, coords[:kh], valid[:kh])
@@ -115,11 +131,30 @@ def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
     pos = upscale_coords(pos, factors)
     # pack into ONE array: each host transfer costs a full dispatch round
     # trip on the remote-TPU tunnel (~27 ms), so 3 outputs -> 1
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [pos, val[:, None], ok.astype(jnp.float32)[:, None]], axis=1)
+    return packed, cand_count
+
+
+def _detect_impl(vol: jnp.ndarray, params: DoGParameters):
+    return _detect_core(vol, params)[0]
+
+
+def _detect_impl_hot(vol: jnp.ndarray, params: DoGParameters):
+    """`_detect_core` truncated to HOT_ROWS result rows + the in-band
+    CANDIDATE count (row 0, col 0) — rows are sorted by |response|, so
+    cand_count <= HOT_ROWS guarantees every valid row was shipped. See
+    HOT_ROWS."""
+    packed, cand_count = _detect_core(vol, params)
+    kh = min(HOT_ROWS, packed.shape[0])
+    head = jnp.zeros((1, packed.shape[1]), packed.dtype).at[0, 0].set(
+        cand_count.astype(packed.dtype))
+    return jnp.concatenate([head, packed[:kh]], axis=0)
 
 
 _detect_device = partial(jax.jit, static_argnames=("params",))(_detect_impl)
+_detect_device_hot = partial(jax.jit,
+                             static_argnames=("params",))(_detect_impl_hot)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -129,7 +164,18 @@ def _detect_device_batch(vols: jnp.ndarray, params: DoGParameters):
     `lax.map` runs the views sequentially inside the program — one
     dispatch + one packed transfer for the whole batch, amortizing the
     remote-tunnel round trip (~24 ms measured) across views."""
+    return jax.lax.map(lambda v: _detect_impl_hot(v, params), vols)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _detect_device_batch_full(vols: jnp.ndarray, params: DoGParameters):
     return jax.lax.map(lambda v: _detect_impl(v, params), vols)
+
+
+def _unpack(rows):
+    ok = rows[:, 4] > 0.5
+    return (rows[ok, :3].astype(np.float32),
+            rows[ok, 3].astype(np.float32))
 
 
 def detect_beads_batch(vols, params: DoGParameters = DoGParameters()):
@@ -139,13 +185,14 @@ def detect_beads_batch(vols, params: DoGParameters = DoGParameters()):
     list of (points (N,3), responses (N,)) per view — the multi-view
     fast path of `detect_beads` (one dispatch for the whole batch).
     """
-    packed = np.asarray(_detect_device_batch(jnp.asarray(vols), params))
-    out = []
-    for v in range(packed.shape[0]):
-        ok = packed[v, :, 4] > 0.5
-        out.append((packed[v, ok, :3].astype(np.float32),
-                    packed[v, ok, 3].astype(np.float32)))
-    return out
+    vols = jnp.asarray(vols)
+    packed = np.asarray(_detect_device_batch(vols, params))
+    counts = packed[:, 0, 0]
+    kh = packed.shape[1] - 1
+    if np.any(counts > kh):  # > HOT_ROWS peaks somewhere: exact refetch
+        packed = np.asarray(_detect_device_batch_full(vols, params))
+        return [_unpack(packed[v]) for v in range(packed.shape[0])]
+    return [_unpack(packed[v, 1:]) for v in range(packed.shape[0])]
 
 
 def detect_beads(vol, params: DoGParameters = DoGParameters()):
@@ -157,9 +204,13 @@ def detect_beads(vol, params: DoGParameters = DoGParameters()):
     the volume every call — a 256^3 upload over the remote tunnel costs
     ~1.6 s, 30x the detection program itself).
     """
-    packed = np.asarray(_detect_device(jnp.asarray(vol), params))
-    ok = packed[:, 4] > 0.5
-    return packed[ok, :3].astype(np.float32), packed[ok, 3].astype(np.float32)
+    vol = jnp.asarray(vol)
+    packed = np.asarray(_detect_device_hot(vol, params))
+    kh = packed.shape[0] - 1
+    if packed[0, 0] > kh:  # > HOT_ROWS peaks: exact full-budget refetch
+        packed = np.asarray(_detect_device(vol, params))
+        return _unpack(packed)
+    return _unpack(packed[1:])
 
 
 def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",

@@ -82,14 +82,19 @@ def _interior_mask(shape):
 
 def _gather27(flat, base, YX, X):
     """(P, 27) neighborhood values around flat base indices (raster order
-    matching a (3,3,3) reshape)."""
-    cols = []
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                cols.append(jnp.take(flat, base + dz * YX + dy * X + dx,
-                                     mode="clip"))
-    return jnp.stack(cols, axis=-1)
+    matching a (3,3,3) reshape).
+
+    ONE take of a (P, 27) index matrix: 27 separate takes cost ~3.7 ms
+    per call at 2048 peaks on a 16.7M-voxel field (each gather pays the
+    random-access latency independently) vs ~1.2 ms fused — and this
+    runs once per subpixel iteration, where it dominated the whole
+    detection pipeline (measured r3, PERF.md)."""
+    offs = jnp.asarray(
+        [dz * YX + dy * X + dx
+         for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        base.dtype)
+    idx = base[:, None] + offs[None, :]
+    return jnp.take(flat, idx.reshape(-1), mode="clip").reshape(-1, 27)
 
 
 def _segmented_compact_topk(score, k, seg=512, rounds=4):
@@ -115,6 +120,28 @@ def _segmented_compact_topk(score, k, seg=512, rounds=4):
     padded = jnp.full((S * seg,), -jnp.inf, score.dtype).at[:n].set(score)
     if k > rounds * S:  # static: extraction cannot retain k candidates
         return jax.lax.top_k(padded, k)
+
+    # On real TPUs the extraction runs as ONE Pallas pass over the field
+    # (per-segment top-`rounds` + counts in VMEM) instead of `rounds`
+    # HBM-read rounds — same selection, same overflow guard
+    # (ops/pallas/segtopk.py; ~3.7 ms -> ~0.3 ms at 256^3, measured r3).
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and S % 256 == 0:
+        from spim_registration_tpu.ops.pallas.segtopk import segment_topk
+
+        va, ia, counts = segment_topk(padded, seg=seg, rounds=rounds)
+        overflow = jnp.any(counts > rounds)
+
+        def fast_p(_):
+            v2, sel = jax.lax.top_k(va, k)
+            return v2, jnp.take(ia, sel)
+
+        def exact_p(_):
+            v, i = jax.lax.top_k(padded, k)
+            return v, i
+
+        return jax.lax.cond(overflow, exact_p, fast_p, operand=None)
+
     tiles = padded.reshape(S, seg)
     counts = jnp.sum(tiles > -jnp.inf, axis=1)
     overflow = jnp.any(counts > rounds)
@@ -167,13 +194,18 @@ def _two_stage_topk(score, k, k1=64, row=4096):
     return jax.lax.cond(overflow, exact, fast, operand=None)
 
 
-@partial(jax.jit, static_argnames=("max_peaks", "find_minima", "hot_k"))
+@partial(jax.jit, static_argnames=("max_peaks", "find_minima", "hot_k",
+                                   "return_count"))
 def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
-               find_minima: bool = False, hot_k: int = 2048):
+               find_minima: bool = False, hot_k: int = 2048,
+               return_count: bool = False):
     """Top-`max_peaks` strict extrema with |response| >= threshold.
 
     Returns (coords (P,3) int32, response (P,), valid (P,) bool) — static
-    shapes; invalid rows are zero.
+    shapes; invalid rows are zero. With `return_count`, appends the
+    PRE-strictness candidate count (int32 scalar): rows are sorted by
+    |response|, so all valid rows sit within the first `count` rows —
+    the bound the truncated-transfer detection path needs.
 
     `hot_k`: candidate rows are sorted descending, so when the candidate
     COUNT fits in `hot_k`, the strictness 27-gather runs on that slice
@@ -196,6 +228,7 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
         vals = jnp.pad(vals, (0, max_peaks - k), constant_values=-jnp.inf)
         idx = jnp.pad(idx, (0, max_peaks - k))
     valid = (vals >= threshold) & jnp.isfinite(vals)
+    cand_count = jnp.sum(valid.astype(jnp.int32))
 
     # strictness: center strictly greater (smaller) than all 26 neighbors
     flat = dog.reshape(-1)
@@ -212,9 +245,8 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
 
     kh = min(hot_k, max_peaks)
     if kh < max_peaks:
-        count = jnp.sum(valid.astype(jnp.int32))
         strict = jax.lax.cond(
-            count <= kh,
+            cand_count <= kh,
             lambda: jnp.pad(strict_of(idx[:kh]), (0, max_peaks - kh)),
             lambda: strict_of(idx))
     else:
@@ -226,6 +258,8 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
     resp = jnp.take(flat, idx)
     coords = jnp.where(valid[:, None], coords, 0)
     resp = jnp.where(valid, resp, 0.0)
+    if return_count:
+        return coords, resp, valid, cand_count
     return coords, resp, valid
 
 
@@ -289,23 +323,49 @@ def subpixel_localize(dog: jnp.ndarray, coords: jnp.ndarray,
     hi = jnp.asarray([z - 2, y - 2, x - 2], jnp.int32)
     c0 = jnp.clip(coords.astype(jnp.int32), 1, hi)
 
-    def body(_, state):
-        c, _off, _val = state
+    def fit_at(c):
         base = c[:, 0] * YX + c[:, 1] * x + c[:, 2]
         nb = _gather27(flat, base, YX, x)
         off, val = _quadratic_step_batched(nb)
         step = jnp.where(jnp.abs(off) > max_offset,
                          jnp.sign(off).astype(jnp.int32), 0)
-        c = jnp.clip(c + step, 1, hi)
-        return c, off, val
+        # INVALID rows (padded budget slots, coords clipped to (1,1,1))
+        # fit garbage neighborhoods and would keep "moving", pinning the
+        # convergence flag below at max_iterations; their outputs are
+        # masked at the end regardless, so freeze them.
+        step = step * valid[:, None].astype(step.dtype)
+        return off, val, step
+
+    def cond(state):
+        i, _c, _off, _val, moved = state
+        return (i < max_iterations) & moved
+
+    def body(state):
+        i, c, _off, _val, _moved = state
+        off, val, step = fit_at(c)
+        c2 = jnp.clip(c + step, 1, hi)
+        # re-fit only while at least one peak re-centered: the loop exits
+        # as soon as every offset is within +-max_offset (typically after
+        # 1-2 fits — a fixed fori_loop paid for max_iterations gathers;
+        # the fixpoint is identical because converged fits are idempotent)
+        moved = jnp.any(c2 != c)
+        return i + 1, c2, off, val, moved
 
     p = coords.shape[0]
     # NOTE: derive the zero carries from `flat` so their sharding "varying"
     # axes match the body outputs under shard_map.
     zero = jnp.zeros((), dog.dtype) * flat[0]
-    init = (c0, jnp.zeros((p, 3), dog.dtype) + zero,
-            jnp.zeros((p,), dog.dtype) + zero)
-    c, off, val = jax.lax.fori_loop(0, max_iterations, body, init)
+    init = (jnp.int32(0) + (zero * 0).astype(jnp.int32), c0,
+            jnp.zeros((p, 3), dog.dtype) + zero,
+            jnp.zeros((p,), dog.dtype) + zero,
+            jnp.bool_(True) | (zero > 0))
+    i, c, off, val, _ = jax.lax.while_loop(cond, body, init)
+    # off/val carried out of `body` are the fit at the center the loop
+    # settled on (converged => the last step was 0 and c is unchanged),
+    # exactly what the fixed-count loop produced after its idempotent
+    # trailing iterations. Peaks still moving at max_iterations keep the
+    # pre-move fit — the fixed-count loop's behavior too — and are
+    # typically invalidated by the |off| < 1 check below.
 
     pos = c.astype(dog.dtype) + off
     shape = jnp.asarray(dog.shape, dog.dtype)

@@ -154,3 +154,31 @@ def test_batched_pairs_match_single(rng):
         # all inlier correspondences are identity (same base ordering)
         correct = np.mean([ia == ib for ia, ib in res.inliers])
         assert correct > 0.95
+
+
+def test_detection_hot_transfer_overflow_fallback(rng, monkeypatch):
+    """The truncated-transfer path (HOT_ROWS + in-band candidate count)
+    falls back to the full-budget program when a view holds more
+    candidates than the hot slice — results identical either way."""
+    from spim_registration_tpu.detect import dog as dog_mod
+
+    pts = rng.uniform(8, 56, size=(30, 3))
+    vol = render_beads(pts, (64, 64, 64), sigma=1.7)
+    vol += rng.normal(0, 0.01, vol.shape).astype(np.float32)
+    params = DoGParameters(sigma=1.8, threshold=0.005, max_peaks=256)
+    ref_pts, ref_resp = detect_beads(vol, params)
+    assert len(ref_pts) > 8
+
+    monkeypatch.setattr(dog_mod, "HOT_ROWS", 8)
+    # new params object -> fresh trace under the patched constant
+    params2 = DoGParameters(sigma=1.8, threshold=0.005, max_peaks=255)
+    got_pts, got_resp = detect_beads(vol, params2)
+    ref2, _ = (np.asarray(dog_mod._detect_device(jnp.asarray(vol),
+                                                 params2)),
+               None)
+    ok = ref2[:, 4] > 0.5
+    np.testing.assert_allclose(got_pts, ref2[ok, :3], atol=0)
+    # batch path too
+    out = dog_mod.detect_beads_batch(np.stack([vol, vol]), params2)
+    for p, r in out:
+        np.testing.assert_allclose(p, ref2[ok, :3], atol=0)
