@@ -143,9 +143,9 @@ def resolve_lowrank_fused(flag) -> bool:
     chain is the fast path (interpret mode is only a numerics check)."""
     if flag != "auto":
         return bool(flag)
-    import jax
+    from spim_registration_tpu.utils.backend import is_tpu_backend
 
-    return jax.devices()[0].platform in ("tpu", "axon")
+    return is_tpu_backend()
 
 
 def _mirror(k: np.ndarray) -> np.ndarray:
@@ -353,7 +353,8 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
                 conv_lowrank_folded_fused,
             )
 
-            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            from spim_registration_tpu.utils.backend import is_tpu_backend
+            interp = not is_tpu_backend()
 
             def conv_lowrank_folded(x, Mz, My, Mx):
                 return conv_lowrank_folded_fused(x, Mz, My, Mx,

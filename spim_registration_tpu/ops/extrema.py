@@ -125,8 +125,9 @@ def _segmented_compact_topk(score, k, seg=512, rounds=4):
     # (per-segment top-`rounds` + counts in VMEM) instead of `rounds`
     # HBM-read rounds — same selection, same overflow guard
     # (ops/pallas/segtopk.py; ~3.7 ms -> ~0.3 ms at 256^3, measured r3).
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and S % 256 == 0:
+    from spim_registration_tpu.utils.backend import is_tpu_backend
+
+    if is_tpu_backend() and S % 256 == 0:
         from spim_registration_tpu.ops.pallas.segtopk import segment_topk
 
         va, ia, counts = segment_topk(padded, seg=seg, rounds=rounds)

@@ -328,12 +328,20 @@ def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
 
 def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                                  axis_name: str = "z",
-                                 view_axis: Optional[str] = None):
+                                 view_axis: Optional[str] = None,
+                                 device_result: bool = False):
     """Stage kernels/inputs on the mesh ONCE and return a zero-arg
     callable executing the sharded RL program — the multi-chip mirror of
     `deconv.lucy_richardson.DeconvolutionRunner`'s staging/run split, so
     repeated runs (production re-runs, scaling measurements) time only
-    the device program, not host-side kernel decomposition."""
+    the device program, not host-side kernel decomposition.
+
+    `device_result`: return the sharded device array instead of a host
+    ndarray. The D2H transfer is NOT part of the device program (67 MB
+    of psi at 256^3 costs seconds on a remote-tunnel link and polluted
+    the r3 scaling model) — benchmarks fence on a scalar instead, and
+    pipelines that feed psi to a next device stage skip the round trip
+    entirely."""
     from spim_registration_tpu.deconv.lucy_richardson import compound_kernels
 
     images = np.asarray(prep.images, np.float32)
@@ -470,7 +478,8 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         fuse_yx = resolve_lowrank_fused(
             getattr(params, "lowrank_fused", "auto"))
         # explicit True off-TPU = numerics check via interpret mode
-        _interp = jax.devices()[0].platform not in ("tpu", "axon")
+        from spim_registration_tpu.utils.backend import is_tpu_backend
+        _interp = not is_tpu_backend()
 
         def conv_mat(x, triple):
             Tz, My, Mx = triple
@@ -612,6 +621,8 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
 
     def execute():
         out = run(psi, imgs, ws, k1, k2)
+        if device_result:
+            return out
         if jax.process_count() > 1:
             # multi-host: shards live on non-addressable devices; gather
             # the global result to every host over DCN
