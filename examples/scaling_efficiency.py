@@ -61,13 +61,21 @@ def make_prep(shape, n_views=2):
 
 
 def time_runner(run, repeats=3):
+    import jax.numpy as jnp
+
+    def fence():
+        # scalar fence: a full-psi D2H costs seconds on the remote
+        # tunnel and would dominate the wall (it did in r3's first
+        # scaling model)
+        return float(jnp.sum(run()))
+
     t0 = time.time()
-    run()
+    fence()
     first = time.time() - t0
     walls = []
     for _ in range(repeats):
         t0 = time.time()
-        run()
+        fence()
         walls.append(time.time() - t0)
     return min(walls), first
 
@@ -97,7 +105,8 @@ def main():
             if len(jax.devices()) < n:
                 break
             mesh = make_mesh(("z",), (n,), jax.devices()[:n])
-            run = sharded_deconvolution_runner(prep, params, mesh)
+            run = sharded_deconvolution_runner(prep, params, mesh,
+                                              device_result=True)
             wall, first = time_runner(run)
             base = base or wall
             # virtual devices share cores: wall ~ total work / cores
@@ -123,7 +132,8 @@ def main():
             images=np.asarray(prep.images)[:, :zl],
             weights=np.asarray(prep.weights)[:, :zl],
             psfs=prep.psfs, osem_factor=prep.osem_factor)
-        run = sharded_deconvolution_runner(slab, params, mesh1)
+        run = sharded_deconvolution_runner(slab, params, mesh1,
+                                           device_result=True)
         walls[n], first = time_runner(run)
         print(f"  slab Z/{n}: {walls[n]:.3f}s (first {first:.1f}s)")
     for n in walls:

@@ -348,7 +348,12 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             conv_lowrank_folded as _conv_xla,
         )
 
-        if lowrank_fused and img_shape[0] % 16 == 0:
+        from spim_registration_tpu.ops.pallas.lowrank_conv import (
+            fused_yx_fits_vmem,
+        )
+
+        if lowrank_fused and img_shape[0] % 16 == 0 \
+                and fused_yx_fits_vmem(img_shape[1], img_shape[2]):
             from spim_registration_tpu.ops.pallas.lowrank_conv import (
                 conv_lowrank_folded_fused,
             )

@@ -216,14 +216,30 @@ def detect_beads(vol, params: DoGParameters = DoGParameters()):
 def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",
                          params: DoGParameters = DoGParameters()) -> None:
     """Run detection over dataset views and store InterestPoints (stage 1
-    of the pipeline; the reference's Interest_Point_Detection plugin)."""
+    of the pipeline; the reference's Interest_Point_Detection plugin).
+
+    Views are grouped by shape and each group runs through
+    `detect_beads_batch` — ONE device program + ONE packed transfer per
+    group (P2 per-view parallelism; on the remote tunnel the per-call
+    dispatch is ~25 ms, which dominated per-view dispatching)."""
     if view_ids is None:
         view_ids = sorted(dataset.views)
+    param_str = (f"DoG s={params.sigma} t={params.threshold} "
+                 f"ds=xy{params.downsample_xy}/z{params.downsample_z}")
+
+    by_shape: dict = {}
+    imgs = {}
     for vid in view_ids:
-        img = dataset.get_image(vid)
-        pts, resp = detect_beads(img, params)
-        dataset.set_interest_points(
-            vid, label, pts, resp,
-            parameters=f"DoG s={params.sigma} t={params.threshold} "
-                       f"ds=xy{params.downsample_xy}/z{params.downsample_z}",
-        )
+        img = np.asarray(dataset.get_image(vid))
+        imgs[vid] = img
+        by_shape.setdefault(img.shape, []).append(vid)
+
+    for shape, vids in by_shape.items():
+        if len(vids) == 1:
+            results = [detect_beads(imgs[vids[0]], params)]
+        else:
+            results = detect_beads_batch(
+                np.stack([imgs[v] for v in vids]), params)
+        for vid, (pts, resp) in zip(vids, results):
+            dataset.set_interest_points(vid, label, pts, resp,
+                                        parameters=param_str)

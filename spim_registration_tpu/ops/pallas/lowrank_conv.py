@@ -83,6 +83,15 @@ def _fused_yx_kernel_rows(a_ref, my_ref, mxt_ref, o_ref):
         o_ref[:, t, :] += c_t
 
 
+def fused_yx_fits_vmem(Y: int, X: int, tz: int = 16) -> bool:
+    """Static VMEM-footprint gate for the fused kernel: the resident
+    (Y, tz, X) a/b/c/out blocks fit the ~16 MB scoped-vmem budget up to
+    Y*tz*X = 256*16*256 (measured compile boundary on v5e; 512^2
+    cross-sections OOM at tz=8 and tz<8 violates the sublane minimum).
+    Callers fall back to the XLA chain beyond it."""
+    return Y * tz * X <= 256 * 16 * 256
+
+
 @functools.partial(jax.jit, static_argnames=("tz", "interpret"))
 def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
                    tz: int = 16, interpret: bool = False) -> jnp.ndarray:

@@ -487,7 +487,12 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             hz = (Tz.shape[-1] - Tz.shape[-2]) // 2
             xp = halo_exchange_z(x, hz, axis_name) if hz > 0 else x
             # x.shape is the LOCAL shard shape at shard_map trace time
-            if fuse_yx and x.shape[0] % 16 == 0:
+            from spim_registration_tpu.ops.pallas.lowrank_conv import (
+                fused_yx_fits_vmem,
+            )
+
+            if fuse_yx and x.shape[0] % 16 == 0 \
+                    and fused_yx_fits_vmem(x.shape[1], x.shape[2]):
                 from spim_registration_tpu.ops.pallas.lowrank_conv import (
                     fused_yx_apply,
                     fused_yx_reference,
