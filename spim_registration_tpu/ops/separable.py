@@ -24,6 +24,11 @@ import numpy as np
 
 from spim_registration_tpu.ops.gaussian import conv_axis_valid, mirror_pad
 
+# rank-chunked folded conv (see conv_lowrank_folded): chunk size and the
+# volume size above which the (R, n^3) intermediates justify chunking
+_RANK_CHUNK = 4
+_RANK_CHUNK_MIN_VOXELS = 2 * 192 ** 3
+
 
 def lowrank_decompose(kernel: np.ndarray, rank: int,
                       n_iter: int = 500, tol: float = 1e-12
@@ -212,11 +217,41 @@ def conv_lowrank_folded(vol: jnp.ndarray, Mz: jnp.ndarray, My: jnp.ndarray,
     """
     acc_t = jnp.float32
     mid_t = Mz.dtype  # bf16 matrices -> bf16 intermediates
-    a = jnp.einsum("pyx,rnp->rnyx", vol.astype(mid_t), Mz,
-                   preferred_element_type=mid_t)
-    b = jnp.einsum("rzpx,rnp->rznx", a, My, preferred_element_type=mid_t)
-    c = jnp.einsum("rzyp,rnp->rzyn", b, Mx, preferred_element_type=acc_t)
-    return jnp.sum(c, axis=0).astype(vol.dtype)
+    R = Mz.shape[0]
+    Z, Y, X = vol.shape
+    vm = vol.astype(mid_t)
+
+    def chain(mz, my, mx):
+        a = jnp.einsum("pyx,rnp->rnyx", vm, mz,
+                       preferred_element_type=mid_t)
+        b = jnp.einsum("rzpx,rnp->rznx", a, my,
+                       preferred_element_type=mid_t)
+        c = jnp.einsum("rzyp,rnp->rzyn", b, mx,
+                       preferred_element_type=acc_t)
+        return jnp.sum(c, axis=0)
+
+    # Large volumes: the (R, n^3) intermediates dominate HBM (rank 20 at
+    # 512^3 is 5.4 GB for `a` alone — the 512^3 x 4-view problem OOMs a
+    # 16 GB chip). Chunk the rank axis with a scan: peak intermediate
+    # drops to (chunk, n^3) at the cost of re-reading `vol` per chunk
+    # (~67 MB vs GB-scale intermediates — a few % more traffic).
+    chunk = _RANK_CHUNK
+    if R > chunk and Z * Y * X >= _RANK_CHUNK_MIN_VOXELS:
+        pad = (-R) % chunk
+        if pad:  # zero rank terms contribute exactly zero
+            Mz, My, Mx = (jnp.pad(M, ((0, pad), (0, 0), (0, 0)))
+                          for M in (Mz, My, Mx))
+
+        def step(acc, ms):
+            return acc + chain(*ms), None
+
+        n_chunks = (R + pad) // chunk
+        stacks = tuple(M.reshape(n_chunks, chunk, *M.shape[1:])
+                       for M in (Mz, My, Mx))
+        out, _ = jax.lax.scan(step, jnp.zeros((Z, Y, X), acc_t), stacks)
+        return out.astype(vol.dtype)
+
+    return chain(Mz, My, Mx).astype(vol.dtype)
 
 
 def decompose_for_rl(kernel: np.ndarray, rank: int,

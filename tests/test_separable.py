@@ -229,3 +229,21 @@ def test_rl_lowrank_fused_matches_xla_path(rng):
         prep, dataclasses.replace(params, lowrank_fused=True)).run())
     nrmse = np.sqrt(np.mean((fused - ref) ** 2)) / (ref.max() - ref.min())
     assert nrmse < 1e-6, nrmse
+
+
+def test_conv_lowrank_folded_rank_chunked_matches(rng, monkeypatch):
+    """The rank-chunked scan path (big-volume HBM fallback) == the
+    one-shot stacked chain, including zero-padded remainder ranks."""
+    from spim_registration_tpu.ops import separable as sep
+
+    n = 20
+    vol = jnp.asarray(rng.random((n, n, n)).astype(np.float32))
+    R = 7  # not a multiple of the chunk -> exercises rank padding
+    Ms = [jnp.asarray(rng.normal(0, 0.1, (R, n, n)).astype(np.float32))
+          for _ in range(3)]
+    ref = np.asarray(sep.conv_lowrank_folded(vol, *Ms), np.float64)
+    monkeypatch.setattr(sep, "_RANK_CHUNK_MIN_VOXELS", 1)
+    monkeypatch.setattr(sep, "_RANK_CHUNK", 2)
+    got = np.asarray(sep.conv_lowrank_folded(vol, *Ms), np.float64)
+    nr = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert nr < 1e-6, nr
