@@ -273,6 +273,13 @@ def _export_volume(args, ds, out, tp, bbox, what):
         else (args.out if n_tp == 1 else f"tp{tp}_{args.out}")
     if path.endswith(".npy"):
         np.save(path, out)
+    elif path.endswith(".zarr") or path.endswith(".n5"):
+        from spim_registration_tpu.core.zarr_store import create_volume
+
+        driver = "zarr" if path.endswith(".zarr") else "n5"
+        vol = create_volume(path, out.shape, dtype="float32",
+                            driver=driver)
+        vol.write(np.asarray(out, np.float32))
     else:
         save_tiff_stack(path, out)
     print(f"tp {tp}: {what} {out.shape} -> {path}")

@@ -48,11 +48,15 @@ def _detect_device(vol: jnp.ndarray, params: DoMParameters):
     )
     pos, val, ok = subpixel_localize(dom, coords, valid)
     pos = upscale_coords(pos, factors)
-    return pos, val, ok
+    # ONE packed array: each extra output is a full dispatch round trip
+    # on the remote-TPU tunnel (same transfer discipline as detect/dog)
+    return jnp.concatenate(
+        [pos, val[:, None], ok.astype(jnp.float32)[:, None]], axis=1)
 
 
 def detect_beads_dom(vol, params: DoMParameters = DoMParameters()):
     """DoM detection; returns (points (N,3), responses (N,)) valid rows."""
-    pos, val, ok = _detect_device(jnp.asarray(vol), params)
-    ok = np.asarray(ok)
-    return np.asarray(pos)[ok], np.asarray(val)[ok]
+    packed = np.asarray(_detect_device(jnp.asarray(vol), params))
+    ok = packed[:, 4] > 0.5
+    return (packed[ok, :3].astype(np.float32),
+            packed[ok, 3].astype(np.float32))

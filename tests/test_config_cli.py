@@ -57,6 +57,18 @@ def test_cli_simulate_detect_register(tmp_path):
                  os.path.join(out, "fused.npy")]) == 0
     fused = np.load(os.path.join(out, "fused.npy"))
     assert fused.ndim == 3 and np.all(np.isfinite(fused))
+    # zarr export target (r3): same volume through the TensorStore path
+    try:
+        import tensorstore  # noqa: F401
+
+        zpath = os.path.join(out, "fused.zarr")
+        assert main(["fuse", xml, "--out", zpath]) == 0
+        from spim_registration_tpu.core.zarr_store import open_volume
+
+        zv = open_volume(zpath).read()
+        np.testing.assert_allclose(zv, fused, atol=1e-6)
+    except ImportError:
+        pass
     assert main(["info", xml]) == 0
     # round-2: the headless tuner + ICP refinement surface
     assert main(["tune", xml, "--expected-points", "60"]) == 0
