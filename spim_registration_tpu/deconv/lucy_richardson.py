@@ -349,21 +349,22 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
         )
 
         from spim_registration_tpu.ops.pallas.lowrank_conv import (
-            fused_yx_fits_vmem,
+            plan_fused_yx,
         )
 
-        if lowrank_fused and img_shape[0] % 16 == 0 \
-                and fused_yx_fits_vmem(img_shape[1], img_shape[2]):
+        plan = plan_fused_yx(*img_shape) if lowrank_fused else None
+        if plan is not None:
             from spim_registration_tpu.ops.pallas.lowrank_conv import (
                 conv_lowrank_folded_fused,
             )
 
             from spim_registration_tpu.utils.backend import is_tpu_backend
             interp = not is_tpu_backend()
+            _tz, _yb = plan
 
             def conv_lowrank_folded(x, Mz, My, Mx):
-                return conv_lowrank_folded_fused(x, Mz, My, Mx,
-                                                 interpret=interp)
+                return conv_lowrank_folded_fused(x, Mz, My, Mx, tz=_tz,
+                                                 yb=_yb, interpret=interp)
         else:
             conv_lowrank_folded = _conv_xla
 

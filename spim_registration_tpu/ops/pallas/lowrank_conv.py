@@ -10,10 +10,11 @@ stacked matmuls and materializes BOTH intermediates in HBM:
 At 256^3 the chain is HBM-bound (arithmetic intensity ~n/4 < the v5e
 ridge), so the intermediates dominate. This kernel fuses the y and x
 passes: the z pass stays one big XLA matmul (it reads `vol` once), laid
-out as a[r, y, z, x]; the kernel then streams z-blocks of `a` through
-VMEM, applying My and Mx back-to-back per rank term and accumulating
-the rank sum on-chip — b and c never touch HBM, and the output is
-written exactly once. Traffic drops from ~6*R*n^3 to ~2*R*n^3 elements.
+out as a[r, y, z, x]; the kernel then streams (z-block, y_out-block)
+tiles of `a` through VMEM, applying My and Mx back-to-back per rank term
+and accumulating the rank sum on-chip — b and c never touch HBM, and the
+output is written exactly once. Traffic drops from ~6*R*n^3 to
+~(1 + Y/yb)*R*n^3 elements (yb = Y at small shapes).
 
 Numerics mirror the XLA path: bf16 (or f32) matrices, f32 matmul
 accumulation, intermediate cast back to the matrix dtype between the
@@ -21,10 +22,13 @@ two fused matmuls, rank sum in f32. The dithered-quantization phase
 axis is selected OUTSIDE (the engine passes already-selected (R, n, n)
 matrices).
 
-Layout note: blocks are (Y, TZ, X) so both fused contractions are
-single large MXU matmuls — (Y_out, Y) @ (Y, TZ*X) then
-(Y_out*TZ, X) @ (X, X_out) — instead of TZ small per-row products; the
-final (Y, Z, X) -> (Z, Y, X) transpose is one fused XLA pass.
+Kernel variants (`plan_fused_yx` picks block sizes; callers fall back
+to the XLA chain when no plan fits VMEM):
+- wide: both contractions as single large MXU matmuls via a lane-dim
+  collapse — requires X % 128 == 0 (Mosaic's vector reshape rejects
+  other collapses: "unsupported shape cast" at 192^3).
+- rows: reshape-free static unroll of TZ 2D matmul pairs for
+  lane-unaligned X; slower, still skips the HBM round trips.
 """
 
 from __future__ import annotations
@@ -38,20 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_yx_kernel_wide(a_ref, my_ref, mxt_ref, o_ref):
-    """One (z-block, rank) grid step: o[Y, TZ, X] += Mx-pass(My-pass(a)).
-
-    The fast form: both contractions are single large MXU matmuls via a
-    (Y, TZ, X) -> (Y, TZ*X) collapse. Mosaic's vector reshape supports
-    collapsing into the lane dim only when X is 128-aligned — callers
-    must route other shapes to the row kernel below."""
-    r = pl.program_id(1)
+    """One (z-block, y_out-block, rank) grid step:
+    o[YB, TZ, X'] += Mx-pass(My-pass(a))."""
+    r = pl.program_id(2)
 
     @pl.when(r == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     a = a_ref[0]                     # (Y, TZ, X) matrix dtype
-    my = my_ref[0]                   # (Y_out, Y)
+    my = my_ref[0]                   # (YB, Y)
     mxt = mxt_ref[0]                 # (X, X_out)
     Y, TZ, X = a.shape
     b = jnp.dot(my, a.reshape(Y, TZ * X),
@@ -62,17 +62,15 @@ def _fused_yx_kernel_wide(a_ref, my_ref, mxt_ref, o_ref):
 
 
 def _fused_yx_kernel_rows(a_ref, my_ref, mxt_ref, o_ref):
-    """Reshape-free variant for lane-unaligned X (e.g. 192^3): a static
-    unroll of TZ 2D matmul pairs. ~3x slower than the wide kernel's two
-    big matmuls but compiles for any 8-padded extent, and still skips
-    the HBM round-trips of the XLA chain."""
-    r = pl.program_id(1)
+    """Reshape-free variant for lane-unaligned X: a static unroll of TZ
+    2D matmul pairs."""
+    r = pl.program_id(2)
 
     @pl.when(r == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    my = my_ref[0]                   # (Y_out, Y)
+    my = my_ref[0]                   # (YB, Y)
     mxt = mxt_ref[0]                 # (X, X_out)
     TZ = a_ref.shape[2]
     for t in range(TZ):
@@ -83,24 +81,53 @@ def _fused_yx_kernel_rows(a_ref, my_ref, mxt_ref, o_ref):
         o_ref[:, t, :] += c_t
 
 
+# empirical scoped-vmem budget (v5e ~16 MB; the 256*16*256 full-Y wide
+# config measures right at the edge): units are "bytes" of the resident
+# blocks — a bf16 (2/elt) + b f32+bf16 + c f32 + out f32 (14/elt of the
+# yb-sized tiles)
+_VMEM_BUDGET = 17_000_000
+
+
+def plan_fused_yx(Z: int, Y: int, X: int):
+    """Pick (tz, yb) block sizes for the fused kernel, or None when no
+    legal configuration fits scoped VMEM. Blocking Y_out (yb < Y)
+    re-reads the full-Y `a` tile per y-block (traffic x Y/yb on the a
+    read), which still beats the XLA chain's extra b/c round trips up
+    to Y/yb ~ 4 (512^2 cross-sections: measured ~3x)."""
+    for tz in (16, 8):
+        if Z % tz:
+            continue
+        yb = Y
+        while yb >= 8 and Y % yb == 0:
+            cost = 2 * Y * tz * X + 14 * yb * tz * X
+            if cost <= _VMEM_BUDGET and Y / yb <= 4:
+                return tz, yb
+            if (yb // 2) % 8:
+                break
+            yb //= 2
+    return None
+
+
 def fused_yx_fits_vmem(Y: int, X: int, tz: int = 16) -> bool:
-    """Static VMEM-footprint gate for the fused kernel: the resident
-    (Y, tz, X) a/b/c/out blocks fit the ~16 MB scoped-vmem budget up to
-    Y*tz*X = 256*16*256 (measured compile boundary on v5e; 512^2
-    cross-sections OOM at tz=8 and tz<8 violates the sublane minimum).
-    Callers fall back to the XLA chain beyond it."""
-    return Y * tz * X <= 256 * 16 * 256
+    """Back-compat gate: True when SOME fused plan exists for a volume
+    with 16-aligned Z (callers that already checked Z % 16)."""
+    return plan_fused_yx(16, Y, X) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("tz", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tz", "yb", "interpret"))
 def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
-                   tz: int = 16, interpret: bool = False) -> jnp.ndarray:
+                   tz: int = 16, yb: int | None = None,
+                   interpret: bool = False) -> jnp.ndarray:
     """Apply the fused y then x folded matmuls + rank sum to a
     z-pass output laid out as a[r, y, z, x]. Returns (Z, Y_out, X_out)
-    f32. Requires Z % tz == 0. Shared by the single-device fused conv
-    and the z-sharded engine (whose z pass is band matmuls over halos —
-    the y/x passes are shard-local and identical)."""
+    f32. Requires Z % tz == 0 and Y_out % yb == 0. Shared by the
+    single-device fused conv and the z-sharded engine (whose z pass is
+    band matmuls over halos — the y/x passes are shard-local and
+    identical)."""
     R, Y, Z, X = a.shape
+    Yo = My.shape[1]
+    if yb is None:
+        yb = Yo
     mxt = jnp.swapaxes(Mx, 1, 2)
     kernel = (_fused_yx_kernel_wide if X % 128 == 0
               else _fused_yx_kernel_rows)
@@ -109,19 +136,19 @@ def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
     vma = getattr(jax.typeof(a), "vma", frozenset())
     out = pl.pallas_call(
         kernel,
-        grid=(Z // tz, R),
+        grid=(Z // tz, Yo // yb, R),
         in_specs=[
-            pl.BlockSpec((1, Y, tz, X), lambda zb, r: (r, 0, zb, 0),
+            pl.BlockSpec((1, Y, tz, X), lambda zb, ybi, r: (r, 0, zb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, My.shape[1], Y), lambda zb, r: (r, 0, 0),
+            pl.BlockSpec((1, yb, Y), lambda zb, ybi, r: (r, ybi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, r: (r, 0, 0),
+            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, ybi, r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((My.shape[1], tz, mxt.shape[2]),
-                               lambda zb, r: (0, zb, 0),
+        out_specs=pl.BlockSpec((yb, tz, mxt.shape[2]),
+                               lambda zb, ybi, r: (ybi, zb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((My.shape[1], Z, mxt.shape[2]),
+        out_shape=jax.ShapeDtypeStruct((Yo, Z, mxt.shape[2]),
                                        jnp.float32, vma=vma),
         interpret=interpret,
     )(a, My, mxt)
@@ -145,20 +172,52 @@ def fused_yx_reference(a: jnp.ndarray, My: jnp.ndarray,
     return jnp.swapaxes(out, 0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("tz", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tz", "yb", "interpret"))
 def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
                               My: jnp.ndarray, Mx: jnp.ndarray,
-                              tz: int = 16,
+                              tz: int = 16, yb: int | None = None,
                               interpret: bool = False) -> jnp.ndarray:
     """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
     passes fused in Pallas. Requires Z % tz == 0 (the engine falls back
-    to the XLA path otherwise)."""
+    to the XLA path otherwise).
+
+    Large volumes chunk the rank axis like the XLA chain does (see
+    `ops.separable`): the z-pass `a` array is (R, n^3) bf16 — 5.4 GB at
+    512^3 rank 20, which OOMed a 16 GB chip — so above the same voxel
+    threshold the z pass + fused y/x run per rank-chunk under a scan,
+    capping `a` at chunk size."""
     Z, Y, X = vol.shape
     if Z % tz:
         raise ValueError(f"Z={Z} not divisible by z-block {tz}")
     mid = Mz.dtype
-    # z pass (XLA): a[r, y, z, x] = sum_p Mz[r, z, p] vol[p, y, x]
-    a = jnp.einsum("rnp,pyx->rynx", Mz, vol.astype(mid),
-                   preferred_element_type=mid)
-    out = fused_yx_apply(a, My, Mx, tz=tz, interpret=interpret)
-    return out.astype(vol.dtype)
+    vm = vol.astype(mid)
+    R = Mz.shape[0]
+
+    def zpass_fused(mz, my, mx):
+        a = jnp.einsum("rnp,pyx->rynx", mz, vm,
+                       preferred_element_type=mid)
+        return fused_yx_apply(a, my, mx, tz=tz, yb=yb,
+                              interpret=interpret)
+
+    from spim_registration_tpu.ops.separable import (
+        _RANK_CHUNK,
+        _RANK_CHUNK_MIN_VOXELS,
+    )
+
+    if R > _RANK_CHUNK and Z * Y * X >= _RANK_CHUNK_MIN_VOXELS:
+        pad = (-R) % _RANK_CHUNK
+        if pad:  # zero rank terms contribute exactly zero
+            Mz, My, Mx = (jnp.pad(M, ((0, pad), (0, 0), (0, 0)))
+                          for M in (Mz, My, Mx))
+        n_chunks = (R + pad) // _RANK_CHUNK
+        stacks = tuple(M.reshape(n_chunks, _RANK_CHUNK, *M.shape[1:])
+                       for M in (Mz, My, Mx))
+
+        def step(acc, ms):
+            return acc + zpass_fused(*ms), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.zeros((Z, Y, X), jnp.float32), stacks)
+        return out.astype(vol.dtype)
+
+    return zpass_fused(Mz, My, Mx).astype(vol.dtype)

@@ -488,11 +488,11 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             xp = halo_exchange_z(x, hz, axis_name) if hz > 0 else x
             # x.shape is the LOCAL shard shape at shard_map trace time
             from spim_registration_tpu.ops.pallas.lowrank_conv import (
-                fused_yx_fits_vmem,
+                plan_fused_yx,
             )
 
-            if fuse_yx and x.shape[0] % 16 == 0 \
-                    and fused_yx_fits_vmem(x.shape[1], x.shape[2]):
+            plan = plan_fused_yx(*x.shape) if fuse_yx else None
+            if plan is not None:
                 from spim_registration_tpu.ops.pallas.lowrank_conv import (
                     fused_yx_apply,
                     fused_yx_reference,
@@ -503,7 +503,9 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                 ay = jnp.swapaxes(a, 1, 2)
                 if _interp:  # off-TPU: numerics-identical XLA emulation
                     return fused_yx_reference(ay, My, Mx).astype(x.dtype)
-                return fused_yx_apply(ay, My, Mx).astype(x.dtype)
+                tz_, yb_ = plan
+                return fused_yx_apply(ay, My, Mx, tz=tz_,
+                                      yb=yb_).astype(x.dtype)
             a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                            preferred_element_type=mid_t)
             b = jnp.einsum("rzpx,rnp->rznx", a, My,
