@@ -130,7 +130,8 @@ class DeconvolutionParameters:
     # never touch HBM — the XLA chain is HBM-bound at 256^3; see
     # ops/pallas/lowrank_conv.py). Numerics mirror the XLA path (tested
     # bit-identical for bf16 in interpret mode; measured 3-4x faster
-    # per conv at 256^3 on v5e at every rank). Requires Z % 16 == 0;
+    # per conv at 256^3 on v5e at every rank). Gated by `plan_fused_yx`:
+    # Z divisible by 16 or 8 AND the per-block working set fits VMEM;
     # other shapes silently use the XLA chain. "auto" (default) enables
     # it on real TPU backends and disables it elsewhere (the Pallas
     # interpret-mode fallback is correct but slow on CPU).

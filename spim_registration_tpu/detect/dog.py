@@ -214,32 +214,46 @@ def detect_beads(vol, params: DoGParameters = DoGParameters()):
 
 
 def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",
-                         params: DoGParameters = DoGParameters()) -> None:
+                         params: DoGParameters = DoGParameters(),
+                         max_batch_views: int = 8) -> None:
     """Run detection over dataset views and store InterestPoints (stage 1
     of the pipeline; the reference's Interest_Point_Detection plugin).
 
     Views are grouped by shape and each group runs through
     `detect_beads_batch` — ONE device program + ONE packed transfer per
-    group (P2 per-view parallelism; on the remote tunnel the per-call
-    dispatch is ~25 ms, which dominated per-view dispatching)."""
+    batch (P2 per-view parallelism; on the remote tunnel the per-call
+    dispatch is ~25 ms, which dominated per-view dispatching).
+
+    Memory: images are loaded lazily PER BATCH (at most `max_batch_views`
+    views resident at once) so host RSS and the device upload stay
+    bounded for realistic datasets (dozens of 512^3 views) instead of
+    stacking the whole dataset up front."""
     if view_ids is None:
         view_ids = sorted(dataset.views)
     param_str = (f"DoG s={params.sigma} t={params.threshold} "
                  f"ds=xy{params.downsample_xy}/z{params.downsample_z}")
 
     by_shape: dict = {}
-    imgs = {}
     for vid in view_ids:
-        img = np.asarray(dataset.get_image(vid))
-        imgs[vid] = img
-        by_shape.setdefault(img.shape, []).append(vid)
+        shape = tuple(dataset.views[vid].size) \
+            if dataset.views[vid].size else None
+        by_shape.setdefault(shape, []).append(vid)
 
-    for shape, vids in by_shape.items():
-        if len(vids) == 1:
-            results = [detect_beads(imgs[vids[0]], params)]
-        else:
-            results = detect_beads_batch(
-                np.stack([imgs[v] for v in vids]), params)
+    def _store(vids, results):
         for vid, (pts, resp) in zip(vids, results):
             dataset.set_interest_points(vid, label, pts, resp,
                                         parameters=param_str)
+
+    for shape, vids in by_shape.items():
+        for i in range(0, len(vids), max_batch_views):
+            chunk = vids[i:i + max_batch_views]
+            imgs = [np.asarray(dataset.get_image(v)) for v in chunk]
+            if shape is None or any(im.shape != imgs[0].shape
+                                    for im in imgs):
+                # declared sizes were missing/stale: detect per view
+                _store(chunk, [detect_beads(im, params) for im in imgs])
+            elif len(chunk) == 1:
+                _store(chunk, [detect_beads(imgs[0], params)])
+            else:
+                _store(chunk, detect_beads_batch(np.stack(imgs), params))
+            del imgs

@@ -125,12 +125,22 @@ def _segmented_compact_topk(score, k, seg=512, rounds=4):
     # (per-segment top-`rounds` + counts in VMEM) instead of `rounds`
     # HBM-read rounds — same selection, same overflow guard
     # (ops/pallas/segtopk.py; ~3.7 ms -> ~0.3 ms at 256^3, measured r3).
+    # NOTE: `is_tpu_backend()` inspects the DEFAULT backend at trace
+    # time, not where the operand lives — detection must run on the
+    # default backend (an array device_put to CPU while the default is
+    # TPU would trace the non-interpret Pallas call). The production
+    # paths all satisfy this; see utils/backend.py.
     from spim_registration_tpu.utils.backend import is_tpu_backend
 
     if is_tpu_backend() and S % 256 == 0:
         from spim_registration_tpu.ops.pallas.segtopk import segment_topk
 
         va, ia, counts = segment_topk(padded, seg=seg, rounds=rounds)
+        # reorder (S, rounds) segment-major -> round-major to match the
+        # XLA fast path's concat layout: exact-value TIES then break in
+        # the same row order on TPU and CPU (cross-backend determinism)
+        va = va.reshape(S, rounds).T.reshape(-1)
+        ia = ia.reshape(S, rounds).T.reshape(-1)
         overflow = jnp.any(counts > rounds)
 
         def fast_p(_):
