@@ -306,6 +306,30 @@ def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None):
 
 # ---------------------------------------------------------------- deconv
 
+def _mirror_restore_z(x, Z_true: int, pad: int, hr: int, axis_name: str):
+    """Re-pin the ragged mirror-extension rows (global z >= Z_true) to the
+    mirror continuation of the CURRENT data: row Z+d <- row Z-2-d.
+
+    Maintaining this invariant after every psi update (and on every
+    quotient before its conv) makes each conv's interior input window
+    identical to the unsharded engine's mirror-padded window, so the
+    ragged-depth sharded RL is exact at the true bottom edge — the same
+    trick `sharded_fft_convolve` uses, extended to an ITERATIVE engine
+    where the padded rows must track the evolving estimate. `hr` is the
+    halo needed to reach every mirror source row
+    (max(1, 2*pad - zl + 1); multi-hop handled by `halo_exchange_z`)."""
+    zl = x.shape[0]
+    xp = halo_exchange_z(x, hr, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    z0 = idx * zl
+    g = z0 + jnp.arange(zl)
+    src = jnp.where(g >= Z_true, 2 * Z_true - 2 - g, g)
+    li = jnp.clip(src - z0 + hr, 0, zl + 2 * hr - 1)
+    rows = jnp.take(xp, li, axis=0)
+    mask = (g >= Z_true).reshape((zl,) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, rows, x)
+
+
 def sharded_deconvolve(prep, params, mesh: Mesh, axis_name: str = "z",
                        view_axis: Optional[str] = None):
     """Multi-view RL with psi + views z-sharded over the mesh.
@@ -348,15 +372,37 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
     weights = np.asarray(prep.weights, np.float32)
     V, Z, Y, X = images.shape
     nz = mesh.shape[axis_name]
-    if Z % nz:
-        raise ValueError(f"z={Z} not divisible by mesh axis size {nz}")
-    zl = Z // nz
 
     k2s = compound_kernels(prep.psfs, params.psf_type)
     # pad all kernels to one common shape so they stack
-    kshape = tuple(max(max(p.shape[d] for p in prep.psfs),
-                       max(k.shape[d] for k in k2s)) for d in range(3))
-    kshape = tuple(min(k if k % 2 else k + 1, 2 * zl - 1) for k in kshape)
+    raw = tuple(max(max(p.shape[d] for p in prep.psfs),
+                    max(k.shape[d] for k in k2s)) for d in range(3))
+    raw = tuple(k if k % 2 else k + 1 for k in raw)
+
+    def _kshape(zloc):
+        return tuple(min(k, 2 * zloc - 1) for k in raw)
+
+    # Ragged depths (real bounding boxes are never multiples of the mesh
+    # size): mirror-extend the volume to Zp = nz*zl with pad >= h (kernel
+    # z half-support), maintained live by `_mirror_restore_z` — exact at
+    # any Z. zl iterates to a fixpoint because the kernel clamp (2*zl-1)
+    # loosens as zl grows; the fixpoint guarantees pad >= h.
+    if Z % nz == 0:
+        zl, pad = Z // nz, 0
+    else:
+        zl = -(-Z // nz)
+        for _ in range(8):
+            zl_new = -(-(Z + _kshape(zl)[0] // 2) // nz)
+            if zl_new == zl:
+                break
+            zl = zl_new
+        pad = nz * zl - Z
+        if pad > Z - 1:
+            raise ValueError(
+                f"volume depth {Z} too thin to mirror-extend over a "
+                f"{nz}-shard mesh (needs {pad} mirror rows)")
+    Zp = nz * zl
+    kshape = _kshape(zl)
 
     def _fit(k):
         out = np.zeros(kshape, np.float32)
@@ -430,6 +476,18 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                     / np.maximum(wsum, 1e-9), avg).astype(np.float32)
     psi0 = np.maximum(psi0, params.min_value * avg)
     minv = jnp.float32(params.min_value * avg)
+
+    if pad:  # mirror-extend data; weights 0 beyond Z (no true signal)
+        images = np.pad(images, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                        mode="reflect")
+        weights = np.pad(weights, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        psi0 = np.pad(psi0, ((0, pad), (0, 0), (0, 0)), mode="reflect")
+    hr = max(1, 2 * pad - zl + 1) if pad else 0
+
+    def restore(x):
+        if pad == 0:
+            return x
+        return _mirror_restore_z(x, Z, pad, hr, axis_name)
 
     n_iter = params.num_iterations
 
@@ -520,6 +578,7 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             return local_conv(x, entry["fft"])
 
         def conv2_minus_1(q, entry, step):
+            q = restore(q)  # quotient pad rows -> live mirror (exact edge)
             if "mat" in entry:
                 return conv_mat(q - 1.0, sel(entry["mat"], step))
             return local_conv(q, entry["fft"]) - 1.0
@@ -538,14 +597,14 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             def iteration(_i, p):
                 for v in range(V):
                     d = view_delta(p, v, _i + v)
-                    p = regularize(p * (1.0 + osem * ws[v] * d))
+                    p = restore(regularize(p * (1.0 + osem * ws[v] * d)))
                 return p
         else:
             def iteration(_i, p):
                 factor = jnp.float32(1.0)
                 for v in range(V):
                     factor = factor + ws[v] * view_delta(p, v, _i + v)
-                return regularize(p * factor)
+                return restore(regularize(p * factor))
 
         return jax.lax.fori_loop(0, n_iter, iteration, psi)
 
@@ -585,7 +644,7 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         def quotient_conv(p, img, a, b):
             conv1 = _conv(p, a)
             q = jnp.clip(img / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
-            return _conv(q, b)
+            return _conv(restore(q), b)
 
         def regularize(p):
             if use_lam:
@@ -600,12 +659,13 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                 partial_f = jnp.sum(ws * (conv2 - 1.0), axis=0)
                 if view_axis is not None:
                     partial_f = jax.lax.psum(partial_f, view_axis)
-                return regularize(p * (1.0 + partial_f))
+                return restore(regularize(p * (1.0 + partial_f)))
         else:
             def view_step(p, inp):
                 img, w, a, b = inp
                 conv2 = quotient_conv(p, img, a, b)
-                return regularize(p * (1.0 + osem * w * (conv2 - 1.0))), None
+                return restore(
+                    regularize(p * (1.0 + osem * w * (conv2 - 1.0)))), None
 
             def iteration(_i, p):
                 p, _ = jax.lax.scan(view_step, p, (imgs, ws, k1f, k2f))
@@ -629,6 +689,8 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
     def execute():
         out = run(psi, imgs, ws, k1, k2)
         if device_result:
+            # sharded device array at the PADDED depth (execute.padded_depth);
+            # callers slice [:execute.true_depth] when materializing
             return out
         if jax.process_count() > 1:
             # multi-host: shards live on non-addressable devices; gather
@@ -636,7 +698,9 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             from jax.experimental import multihost_utils
 
             return np.asarray(
-                multihost_utils.process_allgather(out, tiled=True))
-        return np.asarray(out)
+                multihost_utils.process_allgather(out, tiled=True))[:Z]
+        return np.asarray(out)[:Z]
 
+    execute.true_depth = Z
+    execute.padded_depth = Zp
     return execute
