@@ -74,9 +74,28 @@ def _read_mirror_z(store, z_lo: int, z_hi: int) -> np.ndarray:
     return core
 
 
+def _mirror_q_edges(q, z_lo, z_true):
+    """Re-pin quotient rows OUTSIDE the true volume to the mirror of the
+    interior quotient: the in-memory engine mirror-pads q itself before
+    conv2, while a block near the global edge COMPUTES q on mirror-read
+    inputs — not the same thing for asymmetric kernels (conv at a
+    mirrored position != mirror of the conv). Exact edge parity needs
+    q[Z+d] := q[Z-2-d] (and q[-d] := q[d]); sources always lie inside
+    the extended block. `z_lo` is the global row of q[0] (traced, so one
+    program serves every block)."""
+    n = q.shape[0]
+    g = z_lo + jnp.arange(n)
+    src = jnp.where(g < 0, -g, g)
+    src = jnp.where(src > z_true - 1, 2 * (z_true - 1) - src, src)
+    li = jnp.clip(src - z_lo, 0, n - 1)
+    outside = (g < 0) | (g > z_true - 1)
+    return jnp.where(outside[:, None, None], q[li], q)
+
+
 @partial(jax.jit, static_argnames=("bz", "h", "r1z", "r2z", "fs1", "fs2",
                                    "ry1", "rx1", "ry2", "rx2", "use_lam"))
 def _block_view_update(psi_ext, img_ext, w, k1fft, k2fft, osem, lam, minv,
+                       z_lo, z_true,
                        bz, h, r1z, r2z, fs1, fs2, ry1, rx1, ry2, rx2,
                        use_lam):
     """One view's RL update for one z-slab block — a single XLA program.
@@ -100,9 +119,120 @@ def _block_view_update(psi_ext, img_ext, w, k1fft, k2fft, osem, lam, minv,
 
     conv1 = conv_os(psi_ext, k1fft, r1z, ry1, rx1, fs1)  # (bz+2*r2z, Y, X)
     q = jnp.clip(img_ext / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+    q = _mirror_q_edges(q, z_lo, z_true)
     conv2 = conv_os(q, k2fft, r2z, ry2, rx2, fs2)        # (bz, Y, X)
     psi = psi_ext[h:h + bz]
     psi = psi * (1.0 + osem * w * (conv2 - 1.0))
+    if use_lam:
+        psi = psi / (1.0 + lam * psi)
+    return jnp.maximum(psi, minv)
+
+
+def _lowrank_stage_entries(kernels, n_out, yx, params, factors=None):
+    """Per-kernel lowrank entries for ONE conv stage of the blocked loop:
+    {"mat": (Tz, My, Mx)} with Tz an (R, n_out, n_out + taps - 1) z band
+    matrix consuming the halo rows RE-READ from the psi/q store (the
+    blocked mirror of `parallel.sharded._z_band_matrices` over live
+    halos), My/Mx the usual full-axis mirror-folded matrices — or None
+    for kernels that miss `psf_rank_tol` at the escalated cap (the
+    caller falls back to the exact per-block FFT path for those).
+    Returns (entries, rel_errs, z_tap_radii)."""
+    from spim_registration_tpu.deconv.lucy_richardson import (
+        _bf16_dither_stack,
+    )
+    from spim_registration_tpu.ops.separable import (
+        decompose_for_rl,
+        folded_conv_matrices,
+    )
+    from spim_registration_tpu.parallel.sharded import _z_band_matrices
+
+    dt = jnp.bfloat16 if params.lowrank_dtype == "bfloat16" \
+        else jnp.float32
+    phases = params.lowrank_dither_phases if dt == jnp.bfloat16 else 1
+    phases = max(int(phases), 1)
+    entries, errs, radii = [], [], []
+    for i, k in enumerate(kernels):
+        fac = factors[i] if factors is not None else None
+        az, ay, ax, err = decompose_for_rl(
+            np.asarray(k, np.float64), params.psf_rank,
+            max_error=float("inf"), adapt_tol=params.psf_rank_tol,
+            rank_hard=params.psf_rank_hard, factors=fac)
+        errs.append(float(err))
+        if err > params.psf_rank_tol:
+            entries.append(None)
+            radii.append(0)
+            continue
+        Tz = _z_band_matrices(az, n_out)
+        _, My, Mx = folded_conv_matrices(az, ay, ax, (1,) + tuple(yx),
+                                         dtype=np.float64)
+        triple = []
+        for M in (Tz, My, Mx):
+            stack = (_bf16_dither_stack(M, phases) if phases > 1
+                     else np.asarray(M, np.float32)[None])
+            triple.append(jnp.asarray(stack).astype(dt))
+        entries.append({"mat": tuple(triple)})
+        radii.append((az.shape[1] - 1) // 2)
+    return entries, errs, radii
+
+
+@partial(jax.jit, static_argnames=("bz", "h", "r2z", "t1", "t2", "fs1",
+                                   "fs2", "ry1", "rx1", "ry2", "rx2",
+                                   "use_lam"))
+def _block_view_update_lr(psi_ext, img_ext, w, e1, e2, step, osem, lam,
+                          minv, z_lo, z_true, *, bz, h, r2z, t1, t2,
+                          fs1, fs2, ry1, rx1, ry2, rx2, use_lam):
+    """One view's RL update for one z-slab block, LOWRANK backend: the
+    z pass is a band matmul over the halo rows re-read from the current
+    psi store; y/x passes are the same full-axis mirror-folded matmuls
+    as the in-memory engine — so the blocked result equals the in-memory
+    lowrank engine up to summation order (seam-free; tested). Entries
+    mix per kernel: {"mat": ...} matmul path, {"fft": ...} exact
+    overlap-save fallback (same per-kernel mix as the in-memory engine).
+    `step` drives the bf16 dither phase schedule (iteration + view,
+    matching `_rl_iterate`)."""
+    Y, X = psi_ext.shape[1], psi_ext.shape[2]
+
+    def sel(triple):
+        n_ph = triple[0].shape[0]
+        if n_ph == 1:
+            return tuple(M[0] for M in triple)
+        p = jnp.mod(step, n_ph)
+        return tuple(jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
+                     for M in triple)
+
+    def conv_mat(x, triple, trim):
+        Tz, My, Mx = triple
+        mid_t = Tz.dtype
+        xp = x[trim: x.shape[0] - trim] if trim else x
+        a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
+                       preferred_element_type=mid_t)
+        b = jnp.einsum("rzpx,rnp->rznx", a, My,
+                       preferred_element_type=mid_t)
+        c = jnp.einsum("rzyp,rnp->rzyn", b, Mx,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(c, axis=0).astype(x.dtype)
+
+    def conv_os(x, kfft, rz, ry, rx, fshape):
+        xp = mirror_pad(mirror_pad(x, ry, 1), rx, 2)
+        pads = [(0, fshape[0] - xp.shape[0]),
+                (0, fshape[1] - xp.shape[1]),
+                (0, fshape[2] - xp.shape[2])]
+        xp = jnp.pad(xp, pads)
+        out = jnp.fft.irfftn(jnp.fft.rfftn(xp) * kfft, s=fshape)
+        return out[rz:x.shape[0] - rz, ry:ry + Y, rx:rx + X]
+
+    if "mat" in e1:
+        conv1 = conv_mat(psi_ext, sel(e1["mat"]), t1)
+    else:
+        conv1 = conv_os(psi_ext, e1["fft"], h - r2z, ry1, rx1, fs1)
+    q = jnp.clip(img_ext / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+    q = _mirror_q_edges(q, z_lo, z_true)
+    if "mat" in e2:  # delta form, matching the in-memory lowrank engine
+        conv2m1 = conv_mat(q - 1.0, sel(e2["mat"]), t2)
+    else:
+        conv2m1 = conv_os(q, e2["fft"], r2z, ry2, rx2, fs2) - 1.0
+    psi = psi_ext[h:h + bz]
+    psi = psi * (1.0 + osem * w * conv2m1)
     if use_lam:
         psi = psi / (1.0 + lam * psi)
     return jnp.maximum(psi, minv)
@@ -123,16 +253,20 @@ class BlockedDeconvolutionRunner:
     """RL deconvolution for volumes that do not fit in device memory.
 
     psi lives in `psi_store` (disk); each (view, block) update streams
-    through HBM. Matches `DeconvolutionRunner` (fft backend) exactly.
+    through HBM. Matches `DeconvolutionRunner` seam-free AND edge-exact
+    for both conv backends: "fft" (exact reference semantics) and
+    "lowrank" (the fast folded-matmul path — z band matmuls over halos
+    re-read from the ping-pong store; VERDICT r3 next #3), including the
+    per-kernel exact-FFT fallback and bf16 dither phase schedule.
     """
 
     def __init__(self, inputs: BlockedDeconvolutionInputs, psi_store,
                  params: DeconvolutionParameters = DeconvolutionParameters(),
                  block_z: Optional[int] = None, scratch_store=None):
-        if params.conv_backend != "fft":
+        if params.conv_backend not in ("fft", "lowrank"):
             raise ValueError("blocked deconvolution supports "
-                             "conv_backend='fft' (exact reference "
-                             "semantics); got " + params.conv_backend)
+                             "conv_backend 'fft' or 'lowrank'; got "
+                             + params.conv_backend)
         if params.scheme != "sequential":
             raise ValueError("blocked deconvolution is OSEM-sequential")
         self.inputs = inputs
@@ -144,8 +278,13 @@ class BlockedDeconvolutionRunner:
         k2s = compound_kernels(inputs.psfs, params.psf_type)
         self.r1 = [tuple(s // 2 for s in np.shape(p)) for p in inputs.psfs]
         self.r2 = [tuple(s // 2 for s in np.shape(k)) for k in k2s]
-        self.hz = max(a[0] + b[0] for a, b in zip(self.r1, self.r2))
+        # COMMON halo/crop radii: the stage-1 crop (hz - r2z) must cover
+        # EVERY view's k1 z-radius, so hz = max(r1) + max(r2), not
+        # max(r1 + r2) — the latter under-halos a view whose k1 is wide
+        # but whose compound k2 is narrow
+        self.r1z = max(a[0] for a in self.r1)
         self.r2z = max(b[0] for b in self.r2)
+        self.hz = self.r1z + self.r2z
 
         if block_z is None:
             block_z = max(self.hz * 2, Z // 8)
@@ -172,6 +311,22 @@ class BlockedDeconvolutionRunner:
                 jnp.asarray(inputs.psfs[v], jnp.float32), fs1))
             self.k2f.append(prepare_kernel_fft(
                 jnp.asarray(k2s[v], jnp.float32), fs2))
+
+        self.backend = params.conv_backend
+        if self.backend == "lowrank":
+            n1 = self.bz + 2 * self.r2z  # stage-1 (conv1) output rows
+            self.e1, errs1, rad1 = _lowrank_stage_entries(
+                [np.asarray(p) for p in inputs.psfs], n1, (Y, X), params,
+                factors=getattr(inputs, "psf_factors", None))
+            self.e2, errs2, rad2 = _lowrank_stage_entries(
+                k2s, self.bz, (Y, X), params)
+            self.t1 = [self.r1z - r for r in rad1]
+            self.t2 = [self.r2z - r for r in rad2]
+            for v in range(len(inputs.psfs)):
+                if self.e1[v] is None:  # missed tol: exact FFT fallback
+                    self.e1[v] = {"fft": self.k1f[v]}
+                if self.e2[v] is None:
+                    self.e2[v] = {"fft": self.k2f[v]}
 
         self.osem = (params.osem_factor if params.osem_factor is not None
                      else inputs.osem_factor)
@@ -261,15 +416,29 @@ class BlockedDeconvolutionRunner:
                         z0 - self.r2z, z0 + self.bz + self.r2z)
                     w = self.inputs.weight_stores[v].read_block(
                         (z0, 0, 0), (z0 + self.bz, Y, X))
-                    out = _block_view_update(
-                        jnp.asarray(psi_ext), jnp.asarray(img_ext),
-                        jnp.asarray(w), self.k1f[v], self.k2f[v],
-                        osem, lam, minv,
-                        bz=self.bz, h=self.hz,
-                        r1z=self.hz - self.r2z, r2z=self.r2z,
-                        fs1=self.fs1[v], fs2=self.fs2[v],
-                        ry1=r1[1], rx1=r1[2], ry2=r2[1], rx2=r2[2],
-                        use_lam=use_lam)
+                    z_lo = jnp.int32(z0 - self.r2z)  # global row of q[0]
+                    z_true = jnp.int32(Z)
+                    if self.backend == "lowrank":
+                        out = _block_view_update_lr(
+                            jnp.asarray(psi_ext), jnp.asarray(img_ext),
+                            jnp.asarray(w), self.e1[v], self.e2[v],
+                            jnp.int32(it + v), osem, lam, minv,
+                            z_lo, z_true,
+                            bz=self.bz, h=self.hz, r2z=self.r2z,
+                            t1=self.t1[v], t2=self.t2[v],
+                            fs1=self.fs1[v], fs2=self.fs2[v],
+                            ry1=r1[1], rx1=r1[2], ry2=r2[1], rx2=r2[2],
+                            use_lam=use_lam)
+                    else:
+                        out = _block_view_update(
+                            jnp.asarray(psi_ext), jnp.asarray(img_ext),
+                            jnp.asarray(w), self.k1f[v], self.k2f[v],
+                            osem, lam, minv, z_lo, z_true,
+                            bz=self.bz, h=self.hz,
+                            r1z=self.hz - self.r2z, r2z=self.r2z,
+                            fs1=self.fs1[v], fs2=self.fs2[v],
+                            ry1=r1[1], rx1=r1[2], ry2=r2[1], rx2=r2[2],
+                            use_lam=use_lam)
                     dst.write_block((z0, 0, 0), np.asarray(out))
                 src, dst = dst, src
             if progress_fn is not None:

@@ -215,7 +215,7 @@ def detect_beads(vol, params: DoGParameters = DoGParameters()):
 
 def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",
                          params: DoGParameters = DoGParameters(),
-                         max_batch_views: int = 8) -> None:
+                         max_batch_views: int = 8, mesh=None) -> None:
     """Run detection over dataset views and store InterestPoints (stage 1
     of the pipeline; the reference's Interest_Point_Detection plugin).
 
@@ -227,11 +227,31 @@ def detect_beads_dataset(dataset, view_ids=None, label: str = "beads",
     Memory: images are loaded lazily PER BATCH (at most `max_batch_views`
     views resident at once) so host RSS and the device upload stay
     bounded for realistic datasets (dozens of 512^3 views) instead of
-    stacking the whole dataset up front."""
+    stacking the whole dataset up front.
+
+    `mesh`: a `jax.sharding.Mesh` routes each view through the z-sharded
+    multi-chip detection engine (`parallel.sharded_detect_beads`) — the
+    production P5/P6 path: views too large for one chip are z-sharded,
+    and on a multi-host mesh every process calls this with the same
+    data."""
     if view_ids is None:
         view_ids = sorted(dataset.views)
     param_str = (f"DoG s={params.sigma} t={params.threshold} "
                  f"ds=xy{params.downsample_xy}/z{params.downsample_z}")
+
+    if mesh is not None:
+        from spim_registration_tpu.parallel.sharded_detect import (
+            sharded_detect_beads,
+        )
+
+        axis = mesh.axis_names[-1]
+        for vid in view_ids:
+            img = np.asarray(dataset.get_image(vid))
+            pts, resp = sharded_detect_beads(img, params, mesh,
+                                             axis_name=axis)
+            dataset.set_interest_points(vid, label, pts, resp,
+                                        parameters=param_str)
+        return
 
     by_shape: dict = {}
     for vid in view_ids:

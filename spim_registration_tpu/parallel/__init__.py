@@ -7,7 +7,13 @@ ICI, and `psum` reductions — the ring-attention analog for huge volumes.
 """
 
 from spim_registration_tpu.parallel.halo import halo_exchange_z  # noqa: F401
-from spim_registration_tpu.parallel.mesh import make_mesh  # noqa: F401
+from spim_registration_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    mesh_from_spec,
+)
+from spim_registration_tpu.parallel.sharded_detect import (  # noqa: F401
+    sharded_detect_beads,
+)
 from spim_registration_tpu.parallel.sharded import (  # noqa: F401
     sharded_deconvolution_runner,
     sharded_deconvolve,

@@ -35,3 +35,30 @@ def make_mesh(axis_names: Sequence[str] = ("z",),
         raise ValueError(f"mesh needs {total} devices, have {n}")
     dev = np.asarray(devices[:total]).reshape(tuple(axis_sizes))
     return Mesh(dev, tuple(axis_names))
+
+
+def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """Parse the production `--mesh` flag into a Mesh (or None).
+
+    Accepted: None/""/"none"/"1" -> single-device (no mesh);
+    "auto" -> all visible devices on a ("z",) axis (None if only one);
+    "z=8" / "view=2,z=4" -> explicit axis names and sizes over
+    `jax.devices()` in order. This is the single entry point through
+    which the CLI / pipeline layers go distributed (SURVEY.md section 3
+    L5->L4->L3 wiring): every stage dispatches to its sharded engine
+    when a mesh is returned, and to the single-device engine otherwise.
+    """
+    if spec is None or spec in ("", "none", "1"):
+        return None
+    if spec == "auto":
+        n = len(jax.devices())
+        return make_mesh(("z",), (n,)) if n > 1 else None
+    names, sizes = [], []
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not v:
+            raise ValueError(f"bad --mesh component {part!r} "
+                             "(want e.g. z=8 or view=2,z=4)")
+        names.append(k.strip())
+        sizes.append(int(v))
+    return make_mesh(tuple(names), tuple(sizes))

@@ -304,6 +304,59 @@ def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None):
     return entries, errs
 
 
+def _stacked_lowrank_matrices(kernels, img_shape, zl, params,
+                              factors=None):
+    """Stacked (across views) lowrank conv matrices for VIEW-AXIS
+    sharding: per-view adaptive ranks are bucketed to the max rank by
+    zero-padding the factor banks (a zero az row contributes exactly 0,
+    as in `deconv.lucy_richardson._stack_factor_banks`), and taps are
+    zero-padded centered to a common support — so (Tz, My, Mx) stack to
+    (V, phases, R, n, p) arrays shardable over the view mesh axis.
+    Returns the triple, or None if ANY kernel misses `psf_rank_tol` at
+    the escalated cap (caller falls back to the exact FFT backend)."""
+    from spim_registration_tpu.deconv.lucy_richardson import (
+        _bf16_dither_stack,
+    )
+    from spim_registration_tpu.ops.separable import (
+        decompose_for_rl,
+        folded_conv_matrices,
+    )
+
+    dt = jnp.bfloat16 if params.lowrank_dtype == "bfloat16" \
+        else jnp.float32
+    phases = params.lowrank_dither_phases if dt == jnp.bfloat16 else 1
+    phases = max(int(phases), 1)
+    banks = []
+    for i, k in enumerate(kernels):
+        fac = factors[i] if factors is not None else None
+        az, ay, ax, err = decompose_for_rl(
+            np.asarray(k, np.float64), params.psf_rank,
+            max_error=float("inf"), adapt_tol=params.psf_rank_tol,
+            rank_hard=params.psf_rank_hard, factors=fac)
+        if err > params.psf_rank_tol:
+            return None
+        banks.append([az, ay, ax])
+    rmax = max(b[0].shape[0] for b in banks)
+    for d in range(3):
+        taps = max(b[d].shape[1] for b in banks)
+        for b in banks:
+            arr = b[d]
+            padt = taps - arr.shape[1]
+            lo = padt // 2
+            b[d] = np.pad(arr, ((0, rmax - arr.shape[0]),
+                                (lo, padt - lo)))
+    stacks = ([], [], [])
+    for az, ay, ax in banks:
+        Tz = _z_band_matrices(az, zl)
+        _, My, Mx = folded_conv_matrices(az, ay, ax, img_shape,
+                                         dtype=np.float64)
+        for j, M in enumerate((Tz, My, Mx)):
+            stack = (_bf16_dither_stack(M, phases) if phases > 1
+                     else np.asarray(M, np.float32)[None])
+            stacks[j].append(stack)
+    return tuple(jnp.asarray(np.stack(s)).astype(dt) for s in stacks)
+
+
 # ---------------------------------------------------------------- deconv
 
 def _mirror_restore_z(x, Z_true: int, pad: int, hr: int, axis_name: str):
@@ -380,7 +433,12 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
     raw = tuple(k if k % 2 else k + 1 for k in raw)
 
     def _kshape(zloc):
-        return tuple(min(k, 2 * zloc - 1) for k in raw)
+        # kernels may exceed the shard depth: halo exchange is multi-hop
+        # and overlap-save only needs h <= Zp - 1 (the global mirror
+        # limit) — thin shards do NOT truncate the PSF (a r3 clamp of
+        # 2*zl-1 cost 7e-3 nrmse on 17-tap extracted PSFs over 8 shards)
+        lim = (2 * nz * zloc - 1, 2 * Y - 1, 2 * X - 1)
+        return tuple(min(k, m) for k, m in zip(raw, lim))
 
     # Ragged depths (real bounding boxes are never multiples of the mesh
     # size): mirror-extend the volume to Zp = nz*zl with pad >= h (kernel
@@ -420,7 +478,26 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         return out / max(out.sum(), 1e-12)
 
     conv_backend = getattr(params, "conv_backend", "fft")
-    if conv_backend == "separable":
+    lowrank_stacked = False
+    if conv_backend == "lowrank" and view_axis is not None:
+        # VIEW-AXIS lowrank (VERDICT r3 next #7): per-view adaptive
+        # ranks are BUCKETED to the max rank via zero factor rows
+        # (contribute exactly 0), making the folded matrices stackable
+        # and shardable over the view mesh axis. If any kernel misses
+        # the rank tolerance, the whole job runs the exact FFT backend
+        # instead (a per-kernel fallback cannot mix inside the stacked
+        # program; accuracy is never silently reduced).
+        k1 = _stacked_lowrank_matrices(
+            [np.asarray(p) for p in prep.psfs], (Z, Y, X), zl, params,
+            factors=getattr(prep, "psf_factors", None))
+        k2 = _stacked_lowrank_matrices(k2s, (Z, Y, X), zl, params)
+        if k1 is None or k2 is None:
+            conv_backend = "fft"
+        else:
+            lowrank_stacked = True
+    if lowrank_stacked:
+        pass
+    elif conv_backend == "separable":
         from spim_registration_tpu.deconv.lucy_richardson import (
             _stack_factor_banks,
         )
@@ -432,12 +509,6 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             [_fit(k) for k in k2s], params.psf_rank,
             params.psf_rank_max_error)
     elif conv_backend == "lowrank":
-        if view_axis is not None:
-            raise ValueError(
-                "conv_backend='lowrank' shards over z only (per-view "
-                "adaptive ranks are unrolled per kernel, not stackable "
-                "across a view mesh axis); use 'fft'/'separable' for "
-                "view-axis sharding")
         factors = getattr(prep, "psf_factors", None)
         k1, errs1 = _sharded_lowrank_entries(
             [np.asarray(p) for p in prep.psfs], (Z, Y, X), zl, params,
@@ -458,7 +529,7 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
     ry, rx = kshape[1] // 2, kshape[2] // 2
     fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
 
-    if conv_backend == "lowrank":
+    if conv_backend == "lowrank" and not lowrank_stacked:
         for entries in (k1, k2):
             for i, e in enumerate(entries):
                 if "kernel" in e:
@@ -608,6 +679,71 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
 
         return jax.lax.fori_loop(0, n_iter, iteration, psi)
 
+    def _f_lowrank_stacked(psi, imgs, ws, K1, K2):
+        """VIEW-AXIS-sharded lowrank RL (VERDICT r3 next #7): stacked
+        per-view matrices (ranks bucketed, `_stacked_lowrank_matrices`)
+        on the 2D (view, z) mesh — each view-shard convolves its views
+        against the z-sharded psi and the parallel-scheme update factor
+        psum-reduces over the view axis. bf16 dither phases advance per
+        ITERATION here (the z-only engine advances per view-update;
+        both schedules time-average the quantization to zero)."""
+        Tz1, My1, Mx1 = K1
+        Tz2, My2, Mx2 = K2
+        n_phases = Tz1.shape[1]
+        hz1 = (Tz1.shape[-1] - Tz1.shape[-2]) // 2
+        hz2 = (Tz2.shape[-1] - Tz2.shape[-2]) // 2
+
+        def sel(M, step):
+            if n_phases == 1:
+                return M[:, 0]
+            p = jnp.mod(step, n_phases)
+            return jax.lax.dynamic_index_in_dim(M, p, 1, keepdims=False)
+
+        def halo_z_batch(q, hz):
+            if hz == 0:
+                return q
+            qs = jnp.moveaxis(q, 1, 0)      # z leads for the exchange
+            qe = halo_exchange_z(qs, hz, axis_name)
+            return jnp.moveaxis(qe, 0, 1)
+
+        def restore_batch(q):
+            if pad == 0:
+                return q
+            qs = jnp.moveaxis(q, 1, 0)
+            qs = _mirror_restore_z(qs, Z, pad, hr, axis_name)
+            return jnp.moveaxis(qs, 0, 1)
+
+        def regularize(p):
+            if use_lam:
+                p = p / (1.0 + lam * p)
+            return jnp.maximum(p, minv)
+
+        def tail(a, My, Mx):
+            b = jnp.einsum("vrzpx,vrnp->vrznx", a, My,
+                           preferred_element_type=My.dtype)
+            c = jnp.einsum("vrzyp,vrnp->vrzyn", b, Mx,
+                           preferred_element_type=jnp.float32)
+            return jnp.sum(c, axis=1)
+
+        def iteration(_i, p):
+            t1 = sel(Tz1, _i)
+            xp = halo_exchange_z(p, hz1, axis_name) if hz1 else p
+            a = jnp.einsum("pyx,vrnp->vrnyx", xp.astype(t1.dtype), t1,
+                           preferred_element_type=t1.dtype)
+            conv1 = tail(a, sel(My1, _i), sel(Mx1, _i))  # (Vl, zl, Y, X)
+            q = jnp.clip(imgs / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
+            q = restore_batch(q) - 1.0                   # delta form
+            t2 = sel(Tz2, _i)
+            qe = halo_z_batch(q, hz2)
+            a2 = jnp.einsum("vpyx,vrnp->vrnyx", qe.astype(t2.dtype), t2,
+                            preferred_element_type=t2.dtype)
+            delta = tail(a2, sel(My2, _i), sel(Mx2, _i))
+            partial_f = jnp.sum(ws * delta, axis=0)
+            partial_f = jax.lax.psum(partial_f, view_axis)
+            return restore(regularize(p * (1.0 + partial_f)))
+
+        return jax.lax.fori_loop(0, n_iter, iteration, psi)
+
     def local_conv_sep(x, bank):
         """Sum-of-separable conv on a z-shard: z pass consumes exchanged
         halo rows, y/x passes mirror-pad locally. Factors are flipped so
@@ -628,6 +764,8 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         return jnp.sum(jax.vmap(one_term)(az, ay, ax), axis=0)
 
     def f(psi, imgs, ws, k1_, k2_):
+        if lowrank_stacked:
+            return _f_lowrank_stacked(psi, imgs, ws, k1_, k2_)
         if conv_backend == "lowrank":
             return _f_lowrank(psi, imgs, ws, k1_, k2_)
         if conv_backend == "separable":

@@ -46,16 +46,25 @@ def sharded_detect_beads(vol, params: DoGParameters, mesh: Mesh,
     like `detect_beads` (host-compacted, full-res coords)."""
     Z, Y, X = vol.shape
     nz = mesh.shape[axis_name]
-    if Z % nz:
-        raise ValueError(f"z={Z} not divisible by mesh axis {nz}")
-    zl = Z // nz
     dz, dxy = params.downsample_z, params.downsample_xy
     factors = (dz, dxy, dxy)
-    if zl % dz:
+    # ragged depths: mirror-extend to a multiple of nz*dz. Gaussian
+    # kernels are symmetric, so the DoG of the mirror-extended volume IS
+    # the mirror continuation of the true DoG — peaks in the extension
+    # are exact duplicates and are rejected by the ownership bounds
+    # below, which use the TRUE depth.
+    step = nz * dz
+    Zp = -(-Z // step) * step
+    if Zp - Z > Z - 1:
         raise ValueError(
-            f"local z extent {zl} not divisible by downsample_z={dz}")
+            f"volume depth {Z} too thin to mirror-extend over a "
+            f"{nz}-shard mesh (needs {Zp - Z} mirror rows)")
+    if Zp != Z:
+        vol = np.pad(np.asarray(vol), ((0, Zp - Z), (0, 0), (0, 0)),
+                     mode="reflect")
+    zl = Zp // nz
     zl_ds = zl // dz
-    Zds = Z // dz
+    Zds = -(-Z // dz)   # TRUE downsampled depth: bounds/ownership below
 
     v = jnp.asarray(vol, jnp.float32)
     if params.normalize:
@@ -114,6 +123,13 @@ def sharded_detect_beads(vol, params: DoGParameters, mesh: Mesh,
                                        P(axis_name))))
     v = jax.device_put(v, NamedSharding(mesh, P(axis_name)))
     pos, val, ok = run(v)
+    if jax.process_count() > 1:
+        # multi-host mesh: per-shard peak lists live on non-addressable
+        # devices; gather them to every host over DCN
+        from jax.experimental import multihost_utils
+
+        pos, val, ok = (multihost_utils.process_allgather(a, tiled=True)
+                        for a in (pos, val, ok))
     pos = np.asarray(pos)
     val = np.asarray(val)
     ok = np.asarray(ok)

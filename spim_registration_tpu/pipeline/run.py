@@ -62,6 +62,7 @@ def register_views(
     fixed_views: Sequence[int] = (0,),
     initial_models: Optional[Sequence[np.ndarray]] = None,
     points: Optional[Sequence[np.ndarray]] = None,
+    mesh=None,
 ) -> RegistrationResult:
     """Register N views: detect -> pairwise match -> global solve.
 
@@ -72,6 +73,9 @@ def register_views(
       initial_models: per-view starting transforms (default identity) —
         the calibration the reference pre-concatenates.
       points: pre-detected per-view interest points (skips detection).
+      mesh: route detection through the z-sharded multi-chip engine
+        (matching/solve operate on small point sets and stay host-local;
+        their device programs are already batched).
     """
     V = len(volumes) if volumes is not None else len(points)
     timings: Dict[str, float] = {}
@@ -83,7 +87,16 @@ def register_views(
     if points is None:
         points = []
         for i, vol in enumerate(volumes):
-            pts, _ = detect_beads(vol, config.detection)
+            if mesh is not None:
+                from spim_registration_tpu.parallel.sharded_detect import (
+                    sharded_detect_beads,
+                )
+
+                pts, _ = sharded_detect_beads(
+                    np.asarray(vol), config.detection, mesh,
+                    axis_name=mesh.axis_names[-1])
+            else:
+                pts, _ = detect_beads(vol, config.detection)
             logger.info("detect view=%d points=%d", i, len(pts))
             points.append(pts)
     else:

@@ -131,3 +131,64 @@ def test_blocked_on_raw_volume_store(problem, tmp_path):
     ref = np.asarray(DeconvolutionRunner(prep, _params(2)).run())
     got = psi.read_block((0, 0, 0), SHAPE)
     np.testing.assert_allclose(got, ref, atol=4e-3 * (ref.max() - ref.min()))
+
+
+def _params_lr(n_iter=3, dtype="float32"):
+    return DeconvolutionParameters(
+        num_iterations=n_iter, psf_type="efficient_bayesian",
+        conv_backend="lowrank", psf_rank=12, psf_rank_tol=1e-4,
+        psf_rank_hard=24, lowrank_dtype=dtype, osem_factor=1.6)
+
+
+def test_blocked_lowrank_matches_in_memory(problem):
+    """Out-of-core LOWRANK RL (VERDICT r3 next #3): z band matmuls over
+    halos re-read from the ping-pong psi store + full-axis folded y/x
+    matmuls == the in-memory lowrank engine, at every block size."""
+    images, weights, psfs = problem
+    inputs = _blocked_inputs(images, weights, psfs)
+    prep = DeconvolutionViews(images=images, weights=weights, psfs=psfs,
+                              osem_factor=1.6)
+    ref = np.asarray(DeconvolutionRunner(prep, _params_lr()).run())
+    for bz in (12, 24, 48):
+        psi_store = ArrayStore(np.zeros(SHAPE, np.float32))
+        BlockedDeconvolutionRunner(
+            inputs, psi_store, _params_lr(), block_z=bz).run()
+        nrmse = np.sqrt(np.mean((psi_store.array - ref) ** 2)) \
+            / (ref.max() - ref.min())
+        assert nrmse < 1e-5, (bz, nrmse)
+
+
+def test_blocked_lowrank_bf16_close_to_f32(problem):
+    """bf16 + dither phases in the blocked engine stay within the usual
+    quantization envelope of the float32 result."""
+    images, weights, psfs = problem
+    inputs = _blocked_inputs(images, weights, psfs)
+    psi32 = ArrayStore(np.zeros(SHAPE, np.float32))
+    BlockedDeconvolutionRunner(
+        inputs, psi32, _params_lr(2), block_z=24).run()
+    psi16 = ArrayStore(np.zeros(SHAPE, np.float32))
+    BlockedDeconvolutionRunner(
+        inputs, psi16, _params_lr(2, dtype="bfloat16"), block_z=24).run()
+    nrmse = np.sqrt(np.mean((psi16.array - psi32.array) ** 2)) \
+        / (psi32.array.max() - psi32.array.min())
+    assert nrmse < 3e-3, nrmse
+
+
+def test_blocked_lowrank_fft_fallback_mix(problem):
+    """A kernel that misses the rank tolerance at the hard cap runs the
+    exact FFT path INSIDE the blocked lowrank loop, matching the
+    in-memory engine's per-kernel mix."""
+    images, weights, psfs = problem
+    inputs = _blocked_inputs(images, weights, psfs)
+    params = DeconvolutionParameters(
+        num_iterations=2, psf_type="independent", conv_backend="lowrank",
+        psf_rank=1, psf_rank_tol=1e-9, psf_rank_hard=1, osem_factor=1.6)
+    prep = DeconvolutionViews(images=images, weights=weights, psfs=psfs,
+                              osem_factor=1.6)
+    ref = np.asarray(DeconvolutionRunner(prep, params).run())
+    psi_store = ArrayStore(np.zeros(SHAPE, np.float32))
+    BlockedDeconvolutionRunner(
+        inputs, psi_store, params, block_z=24).run()
+    nrmse = np.sqrt(np.mean((psi_store.array - ref) ** 2)) \
+        / (ref.max() - ref.min())
+    assert nrmse < 1e-5, nrmse

@@ -102,3 +102,43 @@ def test_two_process_distributed_rl(tmp_path):
                           BoundingBox("b", (0, 0, 0), (23, 24, 24)),
                           FusionParameters())
     np.testing.assert_allclose(data["out_d"], ref_fuse, atol=2e-6)
+
+    # (e) the end-to-end CLI pipeline run ACROSS both processes must
+    # equal a fresh single-process CLI run on the same dataset
+    import shutil
+
+    from spim_registration_tpu.cli import main as cli_main
+
+    work = out_path.parent / "cli_ds"
+    psi_multi = np.load(work / "psi.npy")
+    single = out_path.parent / "cli_single"
+    # same XML (cross-host sharded detection + registration already in
+    # it): the single-device CLI deconvolve must reproduce the
+    # cross-host sharded CLI deconvolve on identical inputs
+    shutil.copytree(work, single)
+    (single / "psi.npy").unlink()
+    sxml = str(single / "dataset.xml")
+    psi_single = single / "psi_single.npy"
+    assert cli_main(["deconvolve", sxml, "--out", str(psi_single),
+                     "--set=deconvolution.num_iterations=2"]) == 0
+    a = np.load(psi_single)
+    assert a.shape == psi_multi.shape
+    nrmse = np.sqrt(np.mean((a - psi_multi) ** 2)) / (a.max() - a.min())
+    assert nrmse < 5e-5, nrmse
+
+    # and the cross-host sharded detection must agree with single-device
+    # detection on the same images (set equality to float tolerance)
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    ds = load_dataset(sxml)
+    from spim_registration_tpu.detect.dog import detect_beads
+    from spim_registration_tpu.core.imgloaders import npy_loader
+
+    ds.loader = npy_loader(str(single))
+    for vid, vd in sorted(ds.views.items()):
+        pm = np.asarray(vd.interest_points["beads"].points)
+        ps, _ = detect_beads(np.asarray(ds.get_image(vid)))
+        ps = ps[np.lexsort(ps.T)]
+        pm = pm[np.lexsort(pm.T)]
+        assert ps.shape == pm.shape, (vid, ps.shape, pm.shape)
+        np.testing.assert_allclose(ps, pm, atol=1e-3)

@@ -186,3 +186,47 @@ def test_solve_device_host_assembly_boundary(rng):
     np.testing.assert_allclose(outs[False].corrections[0],
                                outs[True].corrections[0], atol=1e-4)
     assert abs(outs[False].mean_error - outs[True].mean_error) < 1e-4
+
+
+def test_solve_trims_outlier_correspondences(rng):
+    """One bad correspondence surviving RANSAC must not own the max
+    residual: the post-solve pruning pass (the reference family's
+    "remove wrong links" between optimize rounds) drops it and re-solves
+    (VERDICT r3 next #6)."""
+    truth = _make_views(rng, 4, "rigid")
+    matches, truth = _correspondences(rng, truth, noise=0.05)
+    # inject gross outliers into two pairs (wrong-association survivors)
+    matches[0].p[7] += np.array([4.0, -3.0, 5.0])
+    matches[2].q[11] += np.array([-6.0, 2.0, 3.0])
+    params = GlobalOptParameters(model="rigid")
+    res = solve_global(matches, fixed_views=[0], params=params)
+    assert res.trimmed >= 2
+    assert (0, 1) in res.trimmed_per_pair
+    assert res.max_error < 1.0, res.max_error
+    assert res.mean_error < 0.15, res.mean_error  # ~noise floor
+    # transforms still recovered
+    for v, A in enumerate(truth):
+        np.testing.assert_allclose(res.corrections[v], A, atol=0.05)
+
+    # trimming disabled reproduces the polluted max
+    res0 = solve_global(matches, fixed_views=[0],
+                        params=GlobalOptParameters(
+                            model="rigid", outlier_trim_rounds=0))
+    assert res0.trimmed == 0
+    assert res0.max_error > 2.0, res0.max_error
+
+
+def test_solve_trim_retention_guard(rng):
+    """Trimming never starves a pair: each keeps at least
+    outlier_trim_min_matches of its best correspondences, so the pose
+    graph stays connected even under aggressive thresholds."""
+    truth = _make_views(rng, 3, "rigid")
+    matches, truth = _correspondences(rng, truth, n_pts=6, noise=0.02)
+    # pair 0 entirely noisy: all residuals above the threshold
+    matches[0].p += rng.normal(0, 3.0, matches[0].p.shape)
+    params = GlobalOptParameters(model="rigid", outlier_trim_k=2.0,
+                                 outlier_trim_floor_px=0.1,
+                                 outlier_trim_min_matches=4)
+    res = solve_global(matches, fixed_views=[0], params=params)
+    kept = 6 - res.trimmed_per_pair.get((0, 1), 0)
+    assert kept >= 4
