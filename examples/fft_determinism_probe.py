@@ -1,0 +1,96 @@
+"""Root-cause probe for the 256^3 TPU FFT self-repeat nondeterminism
+(VERDICT r3 weak #6 / next #9).
+
+The bench observed: at SHAPE=256^3 the exact-FFT RL engine differs from
+its own bit-identical repeat by ~1.4e-3 nrmse after 5 iterations, while
+at 192^3 it repeats exactly. This probe isolates WHERE the
+nondeterminism enters by running each candidate op twice on identical
+inputs and reporting the max absolute difference:
+
+  1. rfftn/irfftn round trip at the RL engine's actual padded fft
+     shapes (fft_shape for 256^3 + 33-tap kernels -> 3x 320 or similar)
+  2. the same at the 192^3 gate shapes
+  3. a single fft_convolve call
+  4. one full RL view-update
+
+Bitwise-equal repeats print 0.0; any nonzero difference marks the op
+whose TPU lowering is nondeterministic (e.g. a multi-pass FFT
+decomposition with non-deterministic accumulation order).
+
+Run on the real chip:  python examples/fft_determinism_probe.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_root = Path(__file__).resolve().parent.parent
+if str(_root) not in sys.path:
+    sys.path.insert(0, str(_root))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spim_registration_tpu.ops.fftconv import (
+        fft_convolve,
+        pad_shape_for,
+        prepare_kernel_fft,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    def repeat_diff(fn, *args):
+        """Run fn twice on the SAME device inputs; max |difference|."""
+        a = np.asarray(fn(*args))
+        b = np.asarray(fn(*args))
+        return float(np.abs(a - b).max())
+
+    results = {}
+    for name, img_shape in (("perf_256", (256, 256, 256)),
+                            ("gate_192", (192, 192, 192))):
+        kshape = (33, 33, 33)  # the bench fixtures' compound support
+        fshape = pad_shape_for(img_shape, kshape)
+        x = jnp.asarray(rng.normal(size=img_shape).astype(np.float32))
+        k = rng.random(kshape).astype(np.float32)
+        k /= k.sum()
+        kf = prepare_kernel_fft(jnp.asarray(k), fshape)
+
+        rf = jax.jit(lambda v: jnp.fft.rfftn(v, s=fshape))
+        d_f = repeat_diff(rf, x)
+        spec = rf(x)
+        irf = jax.jit(lambda s: jnp.fft.irfftn(s, s=fshape))
+        d_i = repeat_diff(irf, spec)
+        conv = jax.jit(lambda v: fft_convolve(
+            v, None, kernel_fft=kf, fft_shape=fshape))
+        d_c = repeat_diff(conv, x)
+        results[name] = dict(fft_shape=list(fshape), rfftn=d_f,
+                             irfftn=d_i, conv=d_c)
+        print(f"{name} fshape={fshape}: rfftn repeat-diff {d_f:.3e}, "
+              f"irfftn {d_i:.3e}, full conv {d_c:.3e}", file=sys.stderr)
+
+    # sweep z-size factorizations at fixed y/x to pin the decomposition:
+    # 320 = 2^6*5, 384 = 2^7*3, 375 = 3*5^3, 360 = 2^3*3^2*5 ...
+    for n in (256, 270, 288, 300, 320, 324, 360, 375, 384, 400, 405):
+        fs = (n, 320, 320)
+        x = jnp.asarray(
+            rng.normal(size=(n, 320, 320)).astype(np.float32))
+        rf = jax.jit(lambda v, fs=fs: jnp.fft.irfftn(
+            jnp.fft.rfftn(v, s=fs), s=fs))
+        d = repeat_diff(rf, x)
+        results[f"roundtrip_z{n}"] = d
+        print(f"rfftn+irfftn roundtrip z={n}: repeat-diff {d:.3e}",
+              file=sys.stderr)
+
+    import json
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -247,6 +247,10 @@ class BlockedDeconvolutionInputs:
     weight_stores: Sequence
     psfs: List[np.ndarray]
     osem_factor: float
+    # optional exact CP factors per PSF (condition_psf/fixtures) — make
+    # the lowrank backend's conv exact by construction (see
+    # ops.separable.decompose_for_rl)
+    psf_factors: Optional[Sequence] = None
 
 
 class BlockedDeconvolutionRunner:

@@ -21,8 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from spim_registration_tpu.ops.downsample import downsample, upscale_coords
-from spim_registration_tpu.ops.extrema import find_peaks, subpixel_localize
-from spim_registration_tpu.ops.gaussian import difference_of_gaussian, dog_sigmas
+from spim_registration_tpu.ops.extrema import find_peaks_localized
+from spim_registration_tpu.ops.gaussian import (
+    difference_of_gaussian,
+    difference_of_gaussian_bf16,
+    dog_sigmas,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +53,13 @@ class DoGParameters:
     # xy voxels spans sigma * (xy_spacing / z_spacing) z voxels)
     sigma_z: float | None = None
     calibration_zyx: tuple | None = None  # (z, y, x) voxel spacing
+    # "bfloat16": DoG conv with bf16 matmul inputs at full MXU rate via
+    # the telescoping difference-first restructure (ops.gaussian
+    # difference_of_gaussian_bf16) — error floor is the bf16 INPUT
+    # quantization (relative to the local image value), which leaves
+    # bead-scene peak sets identical to float32 (tested); marginal peaks
+    # sitting ON a bright background may differ. Default float32.
+    conv_dtype: str = "float32"
 
 
 def effective_sigmas(params: DoGParameters) -> tuple:
@@ -97,37 +108,18 @@ def _detect_core(vol: jnp.ndarray, params: DoGParameters):
     k = 2.0 ** (1.0 / params.steps_per_octave)
     s1 = (sz, sy, sx)
     s2 = tuple(s * k for s in s1)
-    dog = difference_of_gaussian(v, s1, s2) * jnp.float32(norm)
-    coords, resp, valid, cand_count = find_peaks(
+    dog_fn = (difference_of_gaussian_bf16
+              if params.conv_dtype == "bfloat16"
+              else difference_of_gaussian)
+    dog = dog_fn(v, s1, s2) * jnp.float32(norm)
+    # FUSED peaks + strictness + subpixel (ops.extrema
+    # find_peaks_localized): one 27-gather serves strictness AND the
+    # first quadratic fit; the hot-slice gating (subpixel on 2048 rows
+    # when the candidate count fits, full budget otherwise — exact
+    # either way) lives inside it.
+    pos, val, ok, cand_count = find_peaks_localized(
         dog, params.threshold, params.max_peaks, params.find_minima,
-        return_count=True,
-    )
-    # two-tier subpixel refinement: rows are sorted descending by
-    # |response|, so when the CANDIDATE count fits in the hot slice, all
-    # valid rows do too and the 27-point iterative gathers run on 2048
-    # rows instead of the full max_peaks budget (latency-bound random
-    # gathers); lax.cond falls back to the full budget otherwise — exact
-    # either way (mirrors find_peaks hot_k). The gate must be the
-    # candidate count, NOT the valid count: strictness-rejected rows
-    # interleave with valid ones in sort order, so a small valid count
-    # does not by itself bound the last valid row's index.
-    P = coords.shape[0]
-    kh = min(2048, P)
-    if kh < P:
-        count = cand_count
-
-        def small():
-            p, vv, o = subpixel_localize(dog, coords[:kh], valid[:kh])
-            pad = P - kh
-            return (jnp.pad(p, ((0, pad), (0, 0))),
-                    jnp.pad(vv, (0, pad)),
-                    jnp.pad(o, (0, pad)))
-
-        pos, val, ok = jax.lax.cond(
-            count <= kh, small,
-            lambda: subpixel_localize(dog, coords, valid))
-    else:
-        pos, val, ok = subpixel_localize(dog, coords, valid)
+        hot_k=2048)
     pos = upscale_coords(pos, factors)
     # pack into ONE array: each host transfer costs a full dispatch round
     # trip on the remote-TPU tunnel (~27 ms), so 3 outputs -> 1

@@ -274,6 +274,110 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
     return coords, resp, valid
 
 
+def _refine_from(dog, c0, valid, first, max_iterations, max_offset):
+    """The re-centering loop of `subpixel_localize`, seeded with a
+    PRECOMPUTED first fit (off, val) at c0 — the fused detection path
+    reuses the strictness 27-gather as the first fit's neighborhood, so
+    the common converge-immediately case costs ONE gather total."""
+    z, y, x = dog.shape
+    flat = dog.reshape(-1)
+    YX = y * x
+    hi = jnp.asarray([z - 2, y - 2, x - 2], jnp.int32)
+
+    def step_of(off):
+        s = jnp.where(jnp.abs(off) > max_offset,
+                      jnp.sign(off).astype(jnp.int32), 0)
+        return s * valid[:, None].astype(jnp.int32)
+
+    def fit_at(c):
+        base = c[:, 0] * YX + c[:, 1] * x + c[:, 2]
+        nb = _gather27(flat, base, YX, x)
+        off, val = _quadratic_step_batched(nb)
+        return off, val, step_of(off)
+
+    off0, val0 = first
+    c0 = jnp.clip(c0, 1, hi)
+    c1 = jnp.clip(c0 + step_of(off0), 1, hi)
+    moved0 = jnp.any(c1 != c0)
+
+    def cond(state):
+        i, _c, _o, _v, moved = state
+        return (i < max_iterations) & moved
+
+    def body(state):
+        i, c, _o, _v, _m = state
+        off, val, step = fit_at(c)
+        c2 = jnp.clip(c + step, 1, hi)
+        return i + 1, c2, off, val, jnp.any(c2 != c)
+
+    init = (jnp.int32(1), c1, off0, val0, moved0)
+    _, c, off, val, _ = jax.lax.while_loop(cond, body, init)
+    pos = c.astype(dog.dtype) + off
+    shape = jnp.asarray(dog.shape, dog.dtype)
+    ok = valid & jnp.all(jnp.abs(off) < 1.0, axis=-1) & jnp.all(
+        (pos >= 0) & (pos <= shape - 1.0), axis=-1)
+    pos = jnp.where(ok[:, None], pos, 0.0)
+    val = jnp.where(ok, val, 0.0)
+    return pos, val, ok
+
+
+def find_peaks_localized(dog: jnp.ndarray, threshold: float,
+                         max_peaks: int, find_minima: bool = False,
+                         hot_k: int = 2048, max_iterations: int = 4,
+                         max_offset: float = 0.5):
+    """Fused `find_peaks` + `subpixel_localize` (VERDICT r3 next #8):
+    ONE 27-neighborhood gather serves both the strictness check and the
+    first quadratic fit — on bead scenes (where refinement converges on
+    the first fit for nearly all peaks) this halves the latency-bound
+    random-gather passes of the peak stage. Semantics identical to the
+    unfused pair. Returns (pos (P,3), val (P,), ok (P,), cand_count)."""
+    z, y, x = dog.shape
+    n = z * y * x
+    cand = (dog >= _pool3(dog, jax.lax.max, -jnp.inf))
+    if find_minima:
+        cand |= (dog <= _pool3(dog, jax.lax.min, jnp.inf))
+    cand &= (jnp.abs(dog) >= threshold) & _interior_mask(dog.shape)
+    score = jnp.where(cand, jnp.abs(dog), -jnp.inf).reshape(-1)
+    k = min(max_peaks, n)
+    vals, idx = _segmented_compact_topk(score, k)
+    if k < max_peaks:
+        vals = jnp.pad(vals, (0, max_peaks - k), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, (0, max_peaks - k))
+    valid = (vals >= threshold) & jnp.isfinite(vals)
+    cand_count = jnp.sum(valid.astype(jnp.int32))
+    flat = dog.reshape(-1)
+    idx = jnp.clip(idx, 0, n - 1)
+
+    def run_rows(idx_r, valid_r):
+        nb = _gather27(flat, idx_r, y * x, x)
+        center = nb[:, 13]
+        others = jnp.concatenate([nb[:, :13], nb[:, 14:]], axis=1)
+        s = jnp.all(center[:, None] > others, axis=1)
+        if find_minima:
+            s |= jnp.all(center[:, None] < others, axis=1)
+        valid_s = valid_r & s
+        zz, yy, xx = jnp.unravel_index(idx_r, dog.shape)
+        c0 = jnp.stack([zz, yy, xx], axis=-1).astype(jnp.int32)
+        off0, val0 = _quadratic_step_batched(nb)
+        return _refine_from(dog, c0, valid_s, (off0, val0),
+                            max_iterations, max_offset)
+
+    P = max_peaks
+    kh = min(hot_k, P)
+    if kh < P:
+        def small():
+            p_, v_, o_ = run_rows(idx[:kh], valid[:kh])
+            pad = P - kh
+            return (jnp.pad(p_, ((0, pad), (0, 0))),
+                    jnp.pad(v_, (0, pad)), jnp.pad(o_, (0, pad)))
+
+        pos, val, ok = jax.lax.cond(cand_count <= kh, small,
+                                    lambda: run_rows(idx, valid))
+    else:
+        pos, val, ok = run_rows(idx, valid)
+    return pos, val, ok, cand_count
+
+
 def _quadratic_step_batched(nb):
     """Batched Newton step on (P, 27) 3x3x3 neighborhoods.
 

@@ -55,12 +55,17 @@ def mirror_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
     )
 
 
-def conv_axis_valid(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+def conv_axis_valid(x: jnp.ndarray, kernel: jnp.ndarray, axis: int,
+                    accum_dtype=None) -> jnp.ndarray:
     """'valid' 1D convolution along `axis` via a banded conv-matrix matmul.
 
     Input length n_in, kernel 2r+1 -> output n_in - 2r. The conv matrix C
     (n_out, n_in), C[i, i+j] = k[j], is a static constant folded by XLA and
     the contraction lands on the MXU — one big matmul per axis.
+
+    `accum_dtype` overrides the matmul accumulation type (bf16 inputs
+    with float32 accumulation run the MXU at full rate without the
+    accumulation error); the output is in accum_dtype when given.
 
     This is also the halo-consuming building block of the sharded path:
     a block with h >= r halo rows convolves to its interior exactly.
@@ -77,7 +82,8 @@ def conv_axis_valid(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarr
         0.0,
     ).astype(x.dtype)
     xm = jnp.moveaxis(x, axis, -1)
-    out = jnp.einsum("...p,np->...n", xm, C, preferred_element_type=x.dtype)
+    out = jnp.einsum("...p,np->...n", xm, C,
+                     preferred_element_type=accum_dtype or x.dtype)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -111,6 +117,62 @@ def dog_sigmas(sigma: float, threshold: float, k: float | None = None,
     if k is None:
         k = 2.0 ** (1.0 / steps_per_octave)
     return sigma, sigma * k, 1.0 / (k - 1.0)
+
+
+@partial(jax.jit, static_argnames=("sigma1", "sigma2"))
+def difference_of_gaussian_bf16(vol: jnp.ndarray, sigma1,
+                                sigma2) -> jnp.ndarray:
+    """DoG with bf16 matmul INPUTS at full MXU rate — restructured so no
+    large-value cancellation ever happens in reduced precision:
+
+        DoG = Z1 Y1 (X1-X2) + Z1 (Y1-Y2) X2 + (Z1-Z2) Y2 X2
+
+    (telescoping; convs along different axes commute). Each chain
+    applies its DIFFERENCE kernel FIRST, so every intermediate is
+    already DoG-scale (bandpass-small) rather than image-scale — the
+    naive bf16 g1-g2 would cancel two large blurs and lose the entire
+    response to rounding. Accumulation is float32
+    (preferred_element_type); inputs re-round to bf16 per pass, so the
+    error floor is the input quantization (relative ~2^-9 of the LOCAL
+    image value — dim marginal peaks on dark backgrounds are barely
+    touched). 9 banded matmuls instead of 6, at 2x MXU rate and half
+    the HBM bytes. Returns float32.
+    """
+    s1 = sigma1 if isinstance(sigma1, tuple) else (sigma1,) * 3
+    s2 = sigma2 if isinstance(sigma2, tuple) else (sigma2,) * 3
+    ks1 = [np.asarray(gaussian_kernel_1d(float(s), np.float64))
+           for s in s1]
+    ks2 = [np.asarray(gaussian_kernel_1d(float(s), np.float64))
+           for s in s2]
+
+    def diff_kernel(a, b):  # a - b, centered on the longer support
+        if a.shape[0] < b.shape[0]:
+            p = (b.shape[0] - a.shape[0]) // 2
+            a = np.pad(a, (p, p))
+        elif b.shape[0] < a.shape[0]:
+            p = (a.shape[0] - b.shape[0]) // 2
+            b = np.pad(b, (p, p))
+        return a - b
+
+    bf = jnp.bfloat16
+
+    def conv(x, k_np, axis):
+        k = jnp.asarray(k_np, bf)
+        if k.shape[0] == 1:
+            return (x.astype(jnp.float32) * jnp.float32(k_np[0])
+                    if k_np[0] != 1.0 else x.astype(jnp.float32))
+        r = (k.shape[0] - 1) // 2
+        return conv_axis_valid(mirror_pad(x.astype(bf), r, axis), k,
+                               axis, accum_dtype=jnp.float32)
+
+    dkz, dky, dkx = (diff_kernel(a, b) for a, b in zip(ks1, ks2))
+    v = vol.astype(bf)
+    c = conv(v, ks2[2], 2)                       # X2 v   (image-scale)
+    t3 = conv(conv(c, ks2[1], 1), dkz, 0)        # dZ Y2 X2 v
+    t2 = conv(conv(c, dky, 1), ks1[0], 0)        # Z1 dY X2 v
+    a1 = conv(v, dkx, 2)                         # dX v   (DoG-scale)
+    t1 = conv(conv(a1, ks1[1], 1), ks1[0], 0)    # Z1 Y1 dX v
+    return (t1 + t2 + t3).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("sigma1", "sigma2"))
