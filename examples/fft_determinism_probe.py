@@ -46,10 +46,12 @@ def main():
     rng = np.random.default_rng(0)
 
     def repeat_diff(fn, *args):
-        """Run fn twice on the SAME device inputs; max |difference|."""
-        a = np.asarray(fn(*args))
-        b = np.asarray(fn(*args))
-        return float(np.abs(a - b).max())
+        """Run fn twice on the SAME device inputs; max |difference|.
+        The diff reduces ON DEVICE (complex64 D2H is unimplemented on
+        the axon tunnel; a scalar readback also fences reliably)."""
+        a = fn(*args)
+        b = fn(*args)
+        return float(jnp.max(jnp.abs(a - b)))
 
     results = {}
     for name, img_shape in (("perf_256", (256, 256, 256)),
@@ -63,12 +65,17 @@ def main():
 
         rf = jax.jit(lambda v: jnp.fft.rfftn(v, s=fshape))
         d_f = repeat_diff(rf, x)
+        print(f"{name}: rfftn repeat-diff {d_f:.3e}", file=sys.stderr)
         spec = rf(x)
         irf = jax.jit(lambda s: jnp.fft.irfftn(s, s=fshape))
         d_i = repeat_diff(irf, spec)
-        conv = jax.jit(lambda v: fft_convolve(
-            v, None, kernel_fft=kf, fft_shape=fshape))
-        d_c = repeat_diff(conv, x)
+        print(f"{name}: irfftn repeat-diff {d_i:.3e}", file=sys.stderr)
+        # kf must be an ARGUMENT: a closed-over complex device array gets
+        # materialized as an mlir constant (complex D2H: unimplemented
+        # on the tunnel)
+        conv = jax.jit(lambda v, k: fft_convolve(
+            v, None, kernel_fft=k, fft_shape=fshape))
+        d_c = repeat_diff(conv, x, kf)
         results[name] = dict(fft_shape=list(fshape), rfftn=d_f,
                              irfftn=d_i, conv=d_c)
         print(f"{name} fshape={fshape}: rfftn repeat-diff {d_f:.3e}, "

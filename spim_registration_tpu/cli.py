@@ -234,13 +234,14 @@ def cmd_register(args):
         pts = []
         have_pts = all(cfg.label in v.interest_points for v in views)
         vols = None
+        mesh = _mesh_from_args(args)
         if have_pts:
             pts = [np.asarray(v.interest_points[cfg.label].points)
                    for v in views]
-            res = register_views(None, rc, points=pts)
+            res = register_views(None, rc, points=pts, mesh=mesh)
         else:
             vols = [ds.get_image(v.view_id) for v in views]
-            res = register_views(vols, rc, mesh=_mesh_from_args(args))
+            res = register_views(vols, rc, mesh=mesh)
         for v, vd in enumerate(views):
             vd.set_transform("registration", res.models[v])
         if not _is_primary():
@@ -265,9 +266,23 @@ def cmd_register(args):
         save_dataset(ds, args.xml)
 
 
-def cmd_fuse(args):
-    from spim_registration_tpu.core.imgloaders import save_tiff_stack
+def _resolve_bbox(ds, args, vols, models):
+    """Fusion ROI: a NAMED bounding box persisted in the XML
+    (PreDefinedBoundingBox; `--bbox NAME`) or the maximal box of the
+    transformed view corners (AutomaticBoundingBox; default)."""
     from spim_registration_tpu.fuse.bounding_box import maximal_bounding_box
+
+    name = getattr(args, "bbox", None)
+    if name:
+        if name not in ds.bounding_boxes:
+            raise KeyError(
+                f"bounding box {name!r} not in dataset (have: "
+                f"{sorted(ds.bounding_boxes)})")
+        return ds.bounding_boxes[name]
+    return maximal_bounding_box([v.shape for v in vols], models)
+
+
+def cmd_fuse(args):
     from spim_registration_tpu.fuse.weighted_avg import fuse_views
 
     ds = _dataset_with_loader(args.xml)
@@ -277,7 +292,7 @@ def cmd_fuse(args):
         views = ds.views_of_timepoint(tp)
         vols = [ds.get_image(v.view_id) for v in views]
         models = [v.model() for v in views]
-        bbox = maximal_bounding_box([v.shape for v in vols], models)
+        bbox = _resolve_bbox(ds, args, vols, models)
         if mesh is not None:
             from spim_registration_tpu.parallel import sharded_fuse_views
 
@@ -328,7 +343,6 @@ def cmd_deconvolve(args):
         extract_psf,
         prepare_views_for_deconvolution,
     )
-    from spim_registration_tpu.fuse.bounding_box import maximal_bounding_box
 
     ds = _dataset_with_loader(args.xml)
     cfg = _load_config(args)
@@ -346,7 +360,7 @@ def cmd_deconvolve(args):
                 return 1
             psf, _n = extract_psf(vol, v.model(), np.asarray(ips.points))
             psfs.append(psf)
-        bbox = maximal_bounding_box([v.shape for v in vols], models)
+        bbox = _resolve_bbox(ds, args, vols, models)
         prep = prepare_views_for_deconvolution(vols, models, psfs, bbox)
         if mesh is not None:
             from spim_registration_tpu.parallel import sharded_deconvolve
@@ -362,6 +376,45 @@ def cmd_deconvolve(args):
             out = deconvolve(prep, cfg.deconvolution)
         if _is_primary():
             _export_volume(args, ds, out, tp, bbox, "deconvolved")
+
+
+def cmd_define_bbox(args):
+    """Persist a named bounding box in the XML (the reference's
+    PreDefinedBoundingBox / AutomaticBoundingBox-from-detections): give
+    explicit --min/--max, or --from-points LABEL to box the transformed
+    interest points plus --margin."""
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.core.xml_io import save_dataset
+
+    ds = _dataset_with_loader(args.xml)
+    if args.from_points:
+        from spim_registration_tpu.fuse.bounding_box import (
+            bounding_box_from_points,
+        )
+
+        pts = []
+        for v in ds.views.values():
+            ips = v.interest_points.get(args.from_points)
+            if ips is None or not len(ips.points):
+                continue
+            A = v.model()
+            pts.append(np.asarray(ips.points) @ A[:, :3].T + A[:, 3])
+        if not pts:
+            print(f"no interest points labeled {args.from_points!r}; "
+                  "run detect first", file=sys.stderr)
+            return 1
+        bb = bounding_box_from_points(np.concatenate(pts),
+                                      margin=args.margin, name=args.name)
+    elif args.min is not None and args.max is not None:
+        bb = BoundingBox(args.name, tuple(args.min), tuple(args.max))
+    else:
+        print("give --min Z Y X and --max Z Y X, or --from-points LABEL",
+              file=sys.stderr)
+        return 1
+    ds.bounding_boxes[args.name] = bb
+    save_dataset(ds, args.xml)
+    print(f"bounding box {args.name!r}: min={bb.min} max={bb.max} "
+          f"shape={bb.shape} -> {args.xml}")
 
 
 def cmd_tune(args):
@@ -439,12 +492,14 @@ def cmd_cluster_job(args):
     cfg = _load_config(args)
     stages = args.stages.split(",")
 
+    mesh = _mesh_from_args(args)
+
     def process(ds, tp):
         ds.loader = _dataset_with_loader(args.xml).loader
         vids = [v.view_id for v in ds.views_of_timepoint(tp)]
         if "detect" in stages:
             detect_beads_dataset(ds, view_ids=vids, label=cfg.label,
-                                 params=cfg.detection)
+                                 params=cfg.detection, mesh=mesh)
         if "register" in stages:
             views = ds.views_of_timepoint(tp)
             pts = [np.asarray(v.interest_points[cfg.label].points)
@@ -571,6 +626,18 @@ def main(argv=None):
         common(sp)
         sp.set_defaults(fn=fn)
 
+    sp = sub.add_parser("define-bbox", help="persist a named bounding "
+                        "box (explicit or from detections)")
+    sp.add_argument("xml")
+    sp.add_argument("name")
+    sp.add_argument("--min", type=int, nargs=3, metavar=("Z", "Y", "X"))
+    sp.add_argument("--max", type=int, nargs=3, metavar=("Z", "Y", "X"))
+    sp.add_argument("--from-points", metavar="LABEL",
+                    help="box the transformed interest points with this "
+                         "label")
+    sp.add_argument("--margin", type=int, default=10)
+    sp.set_defaults(fn=cmd_define_bbox)
+
     sp = sub.add_parser("tune", help="sweep DoG sigma/threshold on one "
                         "view (InteractiveDoG analog)")
     sp.add_argument("xml")
@@ -590,6 +657,9 @@ def main(argv=None):
     sp = sub.add_parser("fuse")
     sp.add_argument("xml")
     sp.add_argument("--out", default="fused.tif")
+    sp.add_argument("--bbox", metavar="NAME",
+                    help="use this named bounding box from the XML "
+                         "instead of the automatic maximal box")
     sp.add_argument("--append-hdf5", metavar="H5",
                     help="append output as a new view setup into this "
                          "existing BDV-HDF5 (+XML update) instead of "
@@ -600,6 +670,9 @@ def main(argv=None):
     sp = sub.add_parser("deconvolve")
     sp.add_argument("xml")
     sp.add_argument("--out", default="deconvolved.tif")
+    sp.add_argument("--bbox", metavar="NAME",
+                    help="use this named bounding box from the XML "
+                         "instead of the automatic maximal box")
     sp.add_argument("--append-hdf5", metavar="H5",
                     help="append output as a new view setup into this "
                          "existing BDV-HDF5 (+XML update)")

@@ -48,12 +48,16 @@ def match_pairs_batched(
     pairs: Sequence[Tuple[int, int]],
     params: PairwiseParameters = PairwiseParameters(),
     seed: int = 0,
+    mesh=None,
 ) -> Dict[Tuple[int, int], PairwiseResult]:
     """Match many view pairs in one device launch.
 
     Args:
       points: per-view (N_v, 3) interest points.
       pairs: list of (i, j) view-index pairs.
+      mesh: shard the PAIR axis of the batch over this device mesh (P3
+        scale-out; each device matches its pairs' descriptors + runs
+        RANSAC; one allgathered result). None = single device.
 
     Returns {pair: PairwiseResult} like repeated `match_pair` calls.
     """
@@ -67,6 +71,9 @@ def match_pairs_batched(
         valid[v, :m] = True
 
     B = _bucket_pairs(len(pairs))
+    if mesh is not None:  # pair axis must split evenly over the mesh
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        B = -(-B // n_dev) * n_dev
     ia = np.zeros(B, np.int64)
     ib = np.zeros(B, np.int64)
     ia[:len(pairs)] = [p[0] for p in pairs]
@@ -76,11 +83,19 @@ def match_pairs_batched(
     va[len(pairs):] = False  # bucket-padding slots match nothing
     vb[len(pairs):] = False
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
-    j, ok, res = _match_pairs_device(
-        keys,
-        jnp.asarray(padded[ia]), jnp.asarray(va),
-        jnp.asarray(padded[ib]), jnp.asarray(vb),
-        params)
+    args = (keys, jnp.asarray(padded[ia]), jnp.asarray(va),
+            jnp.asarray(padded[ib]), jnp.asarray(vb))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names))
+        args = tuple(jax.device_put(a, sh) for a in args)
+    j, ok, res = _match_pairs_device(*args, params)
+    if mesh is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        j, ok, res = multihost_utils.process_allgather(
+            (j, ok, res), tiled=True)
 
     # ONE device->host transfer for the whole batch: indexing the device
     # arrays per pair would cost a ~24 ms dispatch round trip PER FIELD

@@ -73,9 +73,10 @@ def register_views(
       initial_models: per-view starting transforms (default identity) —
         the calibration the reference pre-concatenates.
       points: pre-detected per-view interest points (skips detection).
-      mesh: route detection through the z-sharded multi-chip engine
-        (matching/solve operate on small point sets and stay host-local;
-        their device programs are already batched).
+      mesh: route detection through the z-sharded multi-chip engine AND
+        shard the pairwise-matching batch's pair axis over the mesh (P3
+        scale-out); the global solve's normal equations stay host-side
+        (small) with the psum assembly available via solve/assembly.
     """
     V = len(volumes) if volumes is not None else len(points)
     timings: Dict[str, float] = {}
@@ -123,7 +124,7 @@ def register_views(
         from spim_registration_tpu.match.batched import match_pairs_batched
 
         pair_results = match_pairs_batched(cal_points, pairs,
-                                           config.pairwise)
+                                           config.pairwise, mesh=mesh)
     else:
         pair_results = {
             (i, j): match_pair(cal_points[i], cal_points[j],

@@ -87,3 +87,27 @@ def test_mesh_from_spec():
     assert m.shape == {"view": 2, "z": 4}
     with pytest.raises(ValueError):
         mesh_from_spec("bogus")
+
+
+def test_register_mesh_pair_sharded_matches_single(dataset, tmp_path):
+    """register --mesh shards the pair axis of batched matching; the
+    recovered transforms equal the single-device run (same seeds)."""
+    import shutil
+
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    shutil.copytree(dataset, a)
+    shutil.copytree(dataset, b)
+    assert main(["detect", str(a / "dataset.xml")]) == 0
+    shutil.rmtree(b)
+    shutil.copytree(a, b)
+    assert main(["register", str(a / "dataset.xml")]) == 0
+    assert main(["register", str(b / "dataset.xml"),
+                 "--mesh", "z=8"]) == 0
+    ds_a = load_dataset(str(a / "dataset.xml"))
+    ds_b = load_dataset(str(b / "dataset.xml"))
+    for vid in ds_a.views:
+        np.testing.assert_allclose(ds_a.views[vid].model(),
+                                   ds_b.views[vid].model(), atol=1e-5)

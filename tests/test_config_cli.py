@@ -73,3 +73,31 @@ def test_cli_simulate_detect_register(tmp_path):
     # round-2: the headless tuner + ICP refinement surface
     assert main(["tune", xml, "--expected-points", "60"]) == 0
     assert main(["icp-refine", xml]) == 0
+
+
+def test_cli_define_bbox_and_fuse(tmp_path):
+    """Named bounding boxes: define-bbox (explicit + from-points)
+    persists to the XML; fuse --bbox uses it (PreDefinedBoundingBox)."""
+    import numpy as np
+
+    from spim_registration_tpu.cli import main
+
+    out = str(tmp_path / "ds")
+    xml = out + "/dataset.xml"
+    assert main(["simulate", "--out", out, "--views", "2", "--shape",
+                 "40", "40", "40", "--beads", "30"]) == 0
+    assert main(["define-bbox", xml, "roi", "--min", "4", "4", "4",
+                 "--max", "36", "36", "36"]) == 0
+    fpath = str(tmp_path / "fused_roi.npy")
+    assert main(["fuse", xml, "--out", fpath, "--bbox", "roi"]) == 0
+    assert np.load(fpath).shape == (32, 32, 32)
+    # from detections
+    assert main(["detect", xml]) == 0
+    assert main(["define-bbox", xml, "beadbox", "--from-points", "beads",
+                 "--margin", "5"]) == 0
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    ds = load_dataset(xml)
+    assert "roi" in ds.bounding_boxes and "beadbox" in ds.bounding_boxes
+    # unknown name errors cleanly
+    assert main(["fuse", xml, "--out", fpath, "--bbox", "nope"]) == 2
