@@ -136,9 +136,17 @@ def main():
                                            device_result=True)
         walls[n], first = time_runner(run)
         print(f"  slab Z/{n}: {walls[n]:.3f}s (first {first:.1f}s)")
+    # decomposed model (see bench.py bench_rl_scaling / PERF.md): never
+    # report shape-driven superlinearity as "efficiency"
+    ici_bw, h_z, n_iter, n_views = 5.0e10, 16, 5, 2
     for n in walls:
-        print(f"  modeled efficiency N={n}: "
-              f"{walls[1] / (n * walls[n]) * 100:.0f}%")
+        shape_f = walls[1] / (n * walls[n])
+        t_ici = (0.0 if n == 1 else n_iter * n_views * 3
+                 * 2 * h_z * shape[1] * shape[2] * 4 / ici_bw)
+        comm = walls[n] / (walls[n] + t_ici)
+        print(f"  N={n}: predicted efficiency "
+              f"{min(1.0, shape_f * comm) * 100:.0f}% "
+              f"(shape factor x{shape_f:.2f}, comm {comm * 100:.0f}%)")
 
 
 if __name__ == "__main__":
