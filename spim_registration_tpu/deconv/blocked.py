@@ -410,6 +410,15 @@ class BlockedDeconvolutionRunner:
         for it in range(n):
             for v in range(len(self.inputs.psfs)):
                 r1, r2 = self.r1[v], self.r2[v]
+                # Double-buffered block pipeline: within one view-update
+                # every block reads the PRE-update psi (src) and writes
+                # dst, so block k+1's host reads + H2D upload can overlap
+                # block k's device program + D2H write-back (JAX
+                # dispatch is async; np.asarray is the sync point). On
+                # PCIe hosts this hides most of the block IO behind
+                # compute; at most 2 blocks are in flight so HBM stays
+                # bounded.
+                pending = []
                 for z0 in range(0, Z, self.bz):
                     # halos read from SRC (the pre-update psi) — updates
                     # go to DST so no block sees its predecessor's update
@@ -443,7 +452,12 @@ class BlockedDeconvolutionRunner:
                             fs1=self.fs1[v], fs2=self.fs2[v],
                             ry1=r1[1], rx1=r1[2], ry2=r2[1], rx2=r2[2],
                             use_lam=use_lam)
-                    dst.write_block((z0, 0, 0), np.asarray(out))
+                    pending.append((z0, out))
+                    if len(pending) > 1:
+                        z0p, outp = pending.pop(0)
+                        dst.write_block((z0p, 0, 0), np.asarray(outp))
+                for z0p, outp in pending:
+                    dst.write_block((z0p, 0, 0), np.asarray(outp))
                 src, dst = dst, src
             if progress_fn is not None:
                 progress_fn(it + 1)
