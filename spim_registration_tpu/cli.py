@@ -194,8 +194,21 @@ def cmd_detect(args):
 
     ds = _dataset_with_loader(args.xml)
     cfg = _load_config(args)
-    detect_beads_dataset(ds, label=cfg.label, params=cfg.detection,
-                         mesh=_mesh_from_args(args))
+    if getattr(args, "method", "dog") == "dom":
+        # integral-image Difference-of-Mean (ProcessDOM): faster,
+        # coarser; config under `dom.*` (radius1/radius2/threshold)
+        from spim_registration_tpu.detect.dom import detect_beads_dom
+
+        pstr = (f"DoM r1={cfg.dom.radius1} r2={cfg.dom.radius2} "
+                f"t={cfg.dom.threshold}")
+        for vid in sorted(ds.views):
+            pts, resp = detect_beads_dom(
+                np.asarray(ds.get_image(vid)), cfg.dom)
+            ds.set_interest_points(vid, cfg.label, pts, resp,
+                                   parameters=pstr)
+    else:
+        detect_beads_dataset(ds, label=cfg.label, params=cfg.detection,
+                             mesh=_mesh_from_args(args))
     if not _is_primary():
         return
     save_dataset(ds, args.xml)
@@ -619,6 +632,11 @@ def main(argv=None):
     for name, fn in (("detect", cmd_detect), ("register", cmd_register)):
         sp = sub.add_parser(name)
         sp.add_argument("xml")
+        if name == "detect":
+            sp.add_argument("--method", default="dog",
+                            choices=("dog", "dom"),
+                            help="DoG (default) or integral-image "
+                                 "Difference-of-Mean")
         if name == "register":
             sp.add_argument("--channel", type=int, default=None,
                             help="register only this channel "

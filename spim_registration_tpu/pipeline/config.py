@@ -17,6 +17,7 @@ from spim_registration_tpu.deconv.lucy_richardson import (
     DeconvolutionParameters,
 )
 from spim_registration_tpu.detect.dog import DoGParameters
+from spim_registration_tpu.detect.dom import DoMParameters
 from spim_registration_tpu.fuse.weighted_avg import FusionParameters
 from spim_registration_tpu.fuse.weights import (
     BlendingParameters,
@@ -30,6 +31,9 @@ from spim_registration_tpu.solve.global_opt import GlobalOptParameters
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
     detection: DoGParameters = DoGParameters()
+    # integral-image Difference-of-Mean detection (ProcessDOM) — used by
+    # `cli detect --method dom`
+    dom: DoMParameters = DoMParameters()
     pairwise: PairwiseParameters = PairwiseParameters()
     global_opt: GlobalOptParameters = GlobalOptParameters()
     fusion: FusionParameters = FusionParameters()
@@ -39,6 +43,7 @@ class RunConfig:
 
 _NESTED = {
     "detection": DoGParameters,
+    "dom": DoMParameters,
     "pairwise": PairwiseParameters,
     "global_opt": GlobalOptParameters,
     "fusion": FusionParameters,

@@ -101,3 +101,23 @@ def test_cli_define_bbox_and_fuse(tmp_path):
     assert "roi" in ds.bounding_boxes and "beadbox" in ds.bounding_boxes
     # unknown name errors cleanly
     assert main(["fuse", xml, "--out", fpath, "--bbox", "nope"]) == 2
+
+
+def test_cli_detect_dom(tmp_path):
+    """`detect --method dom` (ProcessDOM) stores interest points from the
+    integral-image Difference-of-Mean detector; `--set dom.*` overrides
+    reach it through the config tree."""
+    from spim_registration_tpu.cli import main
+    from spim_registration_tpu.core.xml_io import load_dataset
+
+    out = str(tmp_path / "ds")
+    xml = out + "/dataset.xml"
+    assert main(["simulate", "--out", out, "--views", "2", "--shape",
+                 "40", "40", "40", "--beads", "25"]) == 0
+    assert main(["detect", xml, "--method", "dom",
+                 "--set", "dom.threshold=0.003"]) == 0
+    ds = load_dataset(xml)
+    for vid, vd in ds.views.items():
+        ips = vd.interest_points["beads"]
+        assert len(ips.points) >= 10, (vid, len(ips.points))
+        assert "DoM" in ips.parameters
