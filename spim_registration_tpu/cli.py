@@ -520,7 +520,7 @@ def cmd_cluster_job(args):
             rc = RegistrationConfig(detection=cfg.detection,
                                     pairwise=cfg.pairwise,
                                     global_opt=cfg.global_opt)
-            res = register_views(None, rc, points=pts)
+            res = register_views(None, rc, points=pts, mesh=mesh)
             for v, vd in enumerate(views):
                 vd.set_transform("registration", res.models[v])
             print(f"tp {tp}: residual mean={res.mean_error:.4f} px")
