@@ -25,9 +25,15 @@ import numpy as np
 from spim_registration_tpu.ops.gaussian import conv_axis_valid, mirror_pad
 
 # rank-chunked folded conv (see conv_lowrank_folded): chunk size and the
-# volume size above which the (R, n^3) intermediates justify chunking
+# volume size above which the (R, n^3) intermediates justify chunking.
+# The chunk-scan accumulator costs a full (Z,Y,X) f32 HBM round trip
+# PER CHUNK — profiled r4 at 16% of the whole RL run when the old
+# 2*192^3 threshold chunked 256^3 needlessly (a at 256^3 rank 22 is
+# only 0.7 GB). Chunk only when `a` would be multi-GB: at 384^3 rank 24
+# the unchunked a is ~2.7 GB bf16, still fine on a 16 GB chip; 512^3
+# (1.3e8 voxels) is where the 5.4 GB a OOMed and chunking pays.
 _RANK_CHUNK = 4
-_RANK_CHUNK_MIN_VOXELS = 2 * 192 ** 3
+_RANK_CHUNK_MIN_VOXELS = 10 ** 8
 
 
 def lowrank_decompose(kernel: np.ndarray, rank: int,
