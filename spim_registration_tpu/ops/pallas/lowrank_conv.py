@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -153,6 +154,121 @@ def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
         interpret=interpret,
     )(a, My, mxt)
     return jnp.swapaxes(out, 0, 1)
+
+
+def _zfused_kernel(band_ref, my_ref, mxt_ref, vol_hbm, o_ref, win_ref,
+                   sem, *, Z, tz, tzw):
+    """FULLY fused z+y+x conv for one (z-block, rank) grid step.
+
+    The volume window (tz + 2*hz rows, clamped to the volume) is DMA'd
+    from HBM ONCE per z-block (r == 0) and reused across all ranks —
+    the a-array (R, n^3) of the 2-stage formulation never exists, and
+    vol is read ~(tzw/tz)/R times less than `a` was. Chain:
+      band (tz, tzw) @ win (tzw, Y*X)      [z pass, banded]
+      -> swapaxes to (Y, tz, X)            [major-dim VMEM transpose]
+      -> My (Yo, Y) @ (Y, tz*X)            [y pass]
+      -> (Yo*tz, X) @ MxT (X, Xo)          [x pass]
+      -> o (Yo, tz, Xo) += .               [rank accumulation]
+    Requires X % 128 == 0 (lane-collapse reshapes, like the wide
+    kernel)."""
+    zb = pl.program_id(0)
+    r = pl.program_id(1)
+    s = jnp.clip(zb * tz - (tzw - tz) // 2, 0, Z - tzw)
+
+    @pl.when(r == 0)
+    def _():
+        pltpu.make_async_copy(vol_hbm.at[pl.ds(s, tzw)], win_ref,
+                              sem).start()
+        pltpu.make_async_copy(vol_hbm.at[pl.ds(s, tzw)], win_ref,
+                              sem).wait()
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    win = win_ref[:]                     # (tzw, Y, X) bf16-family
+    band = band_ref[0, 0]                # (tz, tzw)
+    my = my_ref[0]                       # (Yo, Y)
+    mxt = mxt_ref[0]                     # (X, Xo)
+    _, Y, X = win.shape
+    a2 = jnp.dot(band, win.reshape(tzw, Y * X),
+                 preferred_element_type=jnp.float32)
+    a3 = jnp.swapaxes(a2.astype(win.dtype).reshape(tz, Y, X), 0, 1)
+    b = jnp.dot(my, a3.reshape(Y, tz * X),
+                preferred_element_type=jnp.float32)
+    c = jnp.dot(b.astype(win.dtype).reshape(my.shape[0] * tz, X), mxt,
+                preferred_element_type=jnp.float32)
+    o_ref[:] += c.reshape(my.shape[0], tz, mxt.shape[1])
+
+
+def plan_fused_zyx(Z: int, Y: int, X: int, hz: int):
+    """Pick tz for the fully-fused kernel, or None when it cannot run
+    (lane-unaligned X, or the window/compute tiles exceed VMEM)."""
+    if X % 128 or Z < 2 * hz + 8:
+        return None
+    for tz in (16, 8):
+        if Z % tz:
+            continue
+        tzw = tz + 2 * hz
+        if tzw > Z:
+            continue
+        # scoped-vmem model calibrated against the compiler's report
+        # (tz=16, hz=17, 256^2 cross-section -> 17.88M): the window
+        # plus ~11 bytes/elt of the tz-sized compute/out tiles (Mosaic
+        # reuses the chain buffers)
+        cost = 2 * tzw * Y * X + 11 * tz * Y * X
+        if cost <= 15_500_000:
+            return tz
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("hz", "tz", "interpret"))
+def conv_lowrank_folded_zfused(vol: jnp.ndarray, Mz: jnp.ndarray,
+                               My: jnp.ndarray, Mx: jnp.ndarray,
+                               hz: int, tz: int = 16,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Fully z+y+x-fused twin of `conv_lowrank_folded`: per-z-block
+    volume windows are DMA'd once and reused across ranks, so neither
+    the a- nor b-intermediates ever touch HBM. `hz` is the kernel's z
+    half-support (the folded Mz rows of a z-block only reference
+    columns within the clamped window [zb*tz - hz, zb*tz + tz + hz) —
+    mirror folds land inside it)."""
+    Z, Y, X = vol.shape
+    R = Mz.shape[0]
+    Yo = My.shape[1]
+    mid = My.dtype
+    tzw = tz + 2 * hz
+    ZB = Z // tz
+    # per-block band slices of the folded z matrix (host-shaped, static)
+    starts = np.clip(np.arange(ZB) * tz - hz, 0, Z - tzw)
+    bands = jnp.stack([
+        jax.lax.dynamic_slice(
+            Mz, (0, zb * tz, int(starts[zb])), (R, tz, tzw))
+        for zb in range(ZB)])                       # (ZB, R, tz, tzw)
+    mxt = jnp.swapaxes(Mx, 1, 2)
+    vm = vol.astype(mid)
+    vma = getattr(jax.typeof(vol), "vma", frozenset())
+    out = pl.pallas_call(
+        functools.partial(_zfused_kernel, Z=Z, tz=tz, tzw=tzw),
+        grid=(ZB, R),
+        in_specs=[
+            pl.BlockSpec((1, 1, tz, tzw), lambda zb, r: (zb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Yo, Y), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vol stays in HBM
+        ],
+        out_specs=pl.BlockSpec((Yo, tz, mxt.shape[2]),
+                               lambda zb, r: (0, zb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Yo, Z, mxt.shape[2]),
+                                       jnp.float32, vma=vma),
+        scratch_shapes=[
+            pltpu.VMEM((tzw, Y, X), mid),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(bands, My, mxt, vm)
+    return jnp.swapaxes(out, 0, 1).astype(vol.dtype)
 
 
 @jax.jit

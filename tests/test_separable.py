@@ -247,3 +247,40 @@ def test_conv_lowrank_folded_rank_chunked_matches(rng, monkeypatch):
     got = np.asarray(sep.conv_lowrank_folded(vol, *Ms), np.float64)
     nr = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert nr < 1e-6, nr
+
+
+def test_zfused_conv_matches_reference():
+    """The EXPERIMENTAL fully z+y+x-fused kernel (per-z-block volume
+    windows DMA'd once, reused across ranks; no a-intermediate in HBM)
+    matches the folded-matrix conv in interpret mode. Kept as a
+    documented variant: on-chip it measured ~34% slower than the
+    2-stage path (the banded z matmul's M=tz rows under-fill the MXU)
+    — see PERF.md."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spim_registration_tpu.ops.separable import (
+        conv_lowrank_folded,
+        folded_conv_matrices,
+        lowrank_decompose,
+    )
+    from spim_registration_tpu.ops.pallas.lowrank_conv import (
+        conv_lowrank_folded_zfused,
+    )
+
+    rng = np.random.default_rng(0)
+    k = rng.random((7, 9, 5))
+    k /= k.sum()
+    az, ay, ax, _ = lowrank_decompose(k, 4)
+    shape = (32, 16, 128)  # X % 128 == 0 (lane-collapse gate)
+    Mz, My, Mx = folded_conv_matrices(az, ay, ax, shape)
+    vol = rng.random(shape).astype(np.float32)
+    ref = np.asarray(conv_lowrank_folded(
+        jnp.asarray(vol), jnp.asarray(Mz), jnp.asarray(My),
+        jnp.asarray(Mx)))
+    hz = (az.shape[1] - 1) // 2
+    out = np.asarray(conv_lowrank_folded_zfused(
+        jnp.asarray(vol), jnp.asarray(Mz), jnp.asarray(My),
+        jnp.asarray(Mx), hz=hz, tz=8, interpret=True))
+    nrmse = np.sqrt(np.mean((out - ref) ** 2)) / (ref.max() - ref.min())
+    assert nrmse < 1e-5, nrmse
