@@ -128,13 +128,16 @@ class DeconvolutionParameters:
     lowrank_dither_phases: int = 4
     # Fuse the y+x conv passes in a Pallas kernel (b/c intermediates
     # never touch HBM — the XLA chain is HBM-bound at 256^3; see
-    # ops/pallas/lowrank_conv.py). Numerics mirror the XLA path (tested
-    # bit-identical for bf16 in interpret mode; measured 3-4x faster
-    # per conv at 256^3 on v5e at every rank). Gated by `plan_fused_yx`:
-    # Z divisible by 16 or 8 AND the per-block working set fits VMEM;
-    # other shapes silently use the XLA chain. "auto" (default) enables
-    # it on real TPU backends and disables it elsewhere (the Pallas
-    # interpret-mode fallback is correct but slow on CPU).
+    # ops/pallas/lowrank_conv.py). Everything stays in the z-major
+    # matmul-natural layout, so the chain has ZERO transposes (the r4
+    # layout paid ~1.3 ms/conv of transposes at 256^3). Numerics mirror
+    # the XLA path (tested bit-identical for bf16 in interpret mode).
+    # Gated by `plan_fused_sl`: Z divisible by 16/8/4 AND the per-block
+    # working set fits the raised VMEM ceiling (512^2 cross-sections
+    # included since r5); other shapes silently use the XLA chain.
+    # "auto" (default) enables it on real TPU backends and disables it
+    # elsewhere (the Pallas interpret-mode fallback is correct but slow
+    # on CPU).
     lowrank_fused: object = "auto"
 
 
@@ -350,10 +353,17 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
         )
 
         from spim_registration_tpu.ops.pallas.lowrank_conv import (
-            plan_fused_yx,
+            plan_fused_sl,
         )
 
-        plan = plan_fused_yx(*img_shape) if lowrank_fused else None
+        V = len(k1_ffts)
+        mat_entries = [e["mat"] for e in list(k1_ffts) + list(k2_ffts)
+                       if "mat" in e]
+        n_phases = mat_entries[0][0].shape[0] if mat_entries else 1
+
+        _isz = (mat_entries[0][0].dtype.itemsize if mat_entries else 2)
+        plan = (plan_fused_sl(*img_shape, itemsize=_isz)
+                if lowrank_fused else None)
         if plan is not None:
             from spim_registration_tpu.ops.pallas.lowrank_conv import (
                 conv_lowrank_folded_fused,
@@ -361,18 +371,12 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
 
             from spim_registration_tpu.utils.backend import is_tpu_backend
             interp = not is_tpu_backend()
-            _tz, _yb = plan
 
             def conv_lowrank_folded(x, Mz, My, Mx):
-                return conv_lowrank_folded_fused(x, Mz, My, Mx, tz=_tz,
-                                                 yb=_yb, interpret=interp)
+                return conv_lowrank_folded_fused(x, Mz, My, Mx,
+                                                 interpret=interp)
         else:
             conv_lowrank_folded = _conv_xla
-
-        V = len(k1_ffts)
-        mat_entries = [e["mat"] for e in list(k1_ffts) + list(k2_ffts)
-                       if "mat" in e]
-        n_phases = mat_entries[0][0].shape[0] if mat_entries else 1
 
         def sel(triple, step):
             if n_phases == 1:

@@ -1,4 +1,4 @@
-"""Fused y+x passes of the lowrank (folded-matmul) convolution.
+"""Fused sublane(y)+lane(x) passes of the lowrank (folded-matmul) conv.
 
 The XLA path (`ops.separable.conv_lowrank_folded`) runs three chained
 stacked matmuls and materializes BOTH intermediates in HBM:
@@ -9,26 +9,34 @@ stacked matmuls and materializes BOTH intermediates in HBM:
 
 At 256^3 the chain is HBM-bound (arithmetic intensity ~n/4 < the v5e
 ridge), so the intermediates dominate. This kernel fuses the y and x
-passes: the z pass stays one big XLA matmul (it reads `vol` once), laid
-out as a[r, y, z, x]; the kernel then streams (z-block, y_out-block)
-tiles of `a` through VMEM, applying My and Mx back-to-back per rank term
-and accumulating the rank sum on-chip — b and c never touch HBM, and the
-output is written exactly once. Traffic drops from ~6*R*n^3 to
-~(1 + Y/yb)*R*n^3 elements (yb = Y at small shapes).
+passes: the z pass stays one big XLA matmul (it reads `vol` once); the
+kernel streams (rank, z-block) tiles of `a` through VMEM, applying My
+and Mx back-to-back per z-row and accumulating the rank sum on-chip —
+b and c never touch HBM, and the output is written exactly once.
+
+Layout (round-5 redesign, ZERO transposes end to end): `a` stays in the
+NATURAL z-pass matmul output layout (R, Z, Y, X) — the r4 design wanted
+(R, Y, Z, X) tiles for one big lane-collapsed y matmul, which forced a
+transpose epilogue onto the z pass that measured 1.1 ms/conv at 256^3
+(57% of the z pass!), plus an output swapaxes. Instead each z-row slab
+a[r, z] is a CONTIGUOUS (Y, X) matrix, so the y pass is a per-row
+(Yo, Y) @ (Y, X) dot and the x pass (Yo, X) @ (X, Xo) — both natural,
+and the output lands directly in (Z, Yo, Xo). Measured per-dot overhead
+of the tz-row unroll is nil (same wall as one collapsed matmul), the
+kernel needs NO X % 128 alignment (the r4 wide/rows variant split is
+gone), and the end-to-end conv dropped ~30% (PERF.md round 5).
 
 Numerics mirror the XLA path: bf16 (or f32) matrices, f32 matmul
 accumulation, intermediate cast back to the matrix dtype between the
-two fused matmuls, rank sum in f32. The dithered-quantization phase
-axis is selected OUTSIDE (the engine passes already-selected (R, n, n)
-matrices).
+two fused matmuls, rank sum in f32 (bit-identical to the r4 kernel,
+tested). The dithered-quantization phase axis is selected OUTSIDE (the
+engine passes already-selected (R, n, n) matrices).
 
-Kernel variants (`plan_fused_yx` picks block sizes; callers fall back
-to the XLA chain when no plan fits VMEM):
-- wide: both contractions as single large MXU matmuls via a lane-dim
-  collapse — requires X % 128 == 0 (Mosaic's vector reshape rejects
-  other collapses: "unsupported shape cast" at 192^3).
-- rows: reshape-free static unroll of TZ 2D matmul pairs for
-  lane-unaligned X; slower, still skips the HBM round trips.
+VMEM: v5e's scoped-vmem DEFAULT limit is 16 MB but the hardware takes
+far more (512^2 cross-section tiles measured working at a 64 MB limit,
+~37 MB resident) — `plan_fused_sl` sizes the working set and raises
+`vmem_limit_bytes` when needed, which removes the r4 "Pallas off at
+512^2 cross-sections" capacity gate (VERDICT r4 weak #2).
 """
 
 from __future__ import annotations
@@ -41,120 +49,251 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _fused_yx_kernel_wide(a_ref, my_ref, mxt_ref, o_ref):
-    """One (z-block, y_out-block, rank) grid step:
-    o[YB, TZ, X'] += Mx-pass(My-pass(a))."""
-    r = pl.program_id(2)
-
-    @pl.when(r == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    a = a_ref[0]                     # (Y, TZ, X) matrix dtype
-    my = my_ref[0]                   # (YB, Y)
-    mxt = mxt_ref[0]                 # (X, X_out)
-    Y, TZ, X = a.shape
-    b = jnp.dot(my, a.reshape(Y, TZ * X),
-                preferred_element_type=jnp.float32)
-    b = b.astype(a.dtype).reshape(my.shape[0] * TZ, X)
-    c = jnp.dot(b, mxt, preferred_element_type=jnp.float32)
-    o_ref[:] += c.reshape(my.shape[0], TZ, mxt.shape[1])
+# raised scoped-VMEM ceiling used when a plan exceeds the 16 MB default;
+# 512^2 cross-sections measured working on v5e at this limit
+_VMEM_RAISED = 64 * 1024 * 1024
+_VMEM_DEFAULT = 15_500_000
 
 
-def _fused_yx_kernel_rows(a_ref, my_ref, mxt_ref, o_ref):
-    """Reshape-free variant for lane-unaligned X: a static unroll of TZ
-    2D matmul pairs."""
-    r = pl.program_id(2)
+def _sl_rows_kernel(a_ref, my_ref, mxt_ref, o_ref):
+    """One (z-block, rank) grid step: per contiguous z-row slab a[t]
+    (Y, X), o[t] += (My @ a[t]) @ MxT — rank-accumulated in VMEM."""
+    r = pl.program_id(1)
 
     @pl.when(r == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    my = my_ref[0]                   # (YB, Y)
-    mxt = mxt_ref[0]                 # (X, X_out)
-    TZ = a_ref.shape[2]
+    a = a_ref[0]                     # (TZ, Y, X) matrix dtype, z-major
+    my = my_ref[0]                   # (Yo, Y)
+    mxt = mxt_ref[0]                 # (X, Xo)
+    TZ = a.shape[0]
     for t in range(TZ):
-        a_t = a_ref[0, :, t, :]      # (Y, X) matrix dtype
-        b_t = jnp.dot(my, a_t, preferred_element_type=jnp.float32)
-        b_t = b_t.astype(a_t.dtype)
-        c_t = jnp.dot(b_t, mxt, preferred_element_type=jnp.float32)
-        o_ref[:, t, :] += c_t
+        bt = jnp.dot(my, a[t], preferred_element_type=jnp.float32)
+        ct = jnp.dot(bt.astype(a.dtype), mxt,
+                     preferred_element_type=jnp.float32)
+        o_ref[t] += ct
 
 
-# empirical scoped-vmem budget (v5e ~16 MB; the 256*16*256 full-Y wide
-# config measures right at the edge): units are "bytes" of the resident
-# blocks — a bf16 (2/elt) + b f32+bf16 + c f32 + out f32 (14/elt of the
-# yb-sized tiles)
-_VMEM_BUDGET = 17_000_000
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
 
 
-def plan_fused_yx(Z: int, Y: int, X: int):
-    """Pick (tz, yb) block sizes for the fused kernel, or None when no
-    legal configuration fits scoped VMEM. Blocking Y_out (yb < Y)
-    re-reads the full-Y `a` tile per y-block (traffic x Y/yb on the a
-    read), which still beats the XLA chain's extra b/c round trips up
-    to Y/yb ~ 4 (512^2 cross-sections: measured ~3x)."""
-    for tz in (16, 8):
+def plan_fused_sl(Z: int, Y: int, X: int, itemsize: int = 2):
+    """Pick (tz, vmem_limit_bytes) for the fused kernel, or None when no
+    legal configuration fits the raised VMEM ceiling. The model counts
+    the double-buffered a tile, the resident f32 out tile, the b/c
+    intermediates and the matrix tiles, all lane-padded."""
+    Xp = _lane_pad(X)
+    mats = 2 * itemsize * (Y * Y + X * Xp)
+    for tz in (16, 8, 4):
         if Z % tz:
             continue
-        yb = Y
-        while yb >= 8 and Y % yb == 0:
-            cost = 2 * Y * tz * X + 14 * yb * tz * X
-            if cost <= _VMEM_BUDGET and Y / yb <= 4:
-                return tz, yb
-            if (yb // 2) % 8:
-                break
-            yb //= 2
+        cost = (2 * itemsize * tz * Y * Xp      # a tile, double-buffered
+                + 4 * tz * Y * Xp               # out tile (f32, resident)
+                + (4 + itemsize + 4) * Y * Xp   # b f32 + b cast + c f32
+                + mats)
+        if cost <= _VMEM_DEFAULT:
+            return tz, None
+        if cost <= _VMEM_RAISED - 4 * 1024 * 1024:
+            return tz, _VMEM_RAISED
     return None
 
 
-def fused_yx_fits_vmem(Y: int, X: int, tz: int = 16) -> bool:
-    """Back-compat gate: True when SOME fused plan exists for a volume
-    with 16-aligned Z (callers that already checked Z % 16)."""
-    return plan_fused_yx(16, Y, X) is not None
-
-
-@functools.partial(jax.jit, static_argnames=("tz", "yb", "interpret"))
-def fused_yx_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
-                   tz: int = 16, yb: int | None = None,
+@functools.partial(jax.jit,
+                   static_argnames=("tz", "vmem_limit", "interpret"))
+def fused_sl_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
+                   tz: int = 16, vmem_limit: int | None = None,
                    interpret: bool = False) -> jnp.ndarray:
-    """Apply the fused y then x folded matmuls + rank sum to a
-    z-pass output laid out as a[r, y, z, x]. Returns (Z, Y_out, X_out)
-    f32. Requires Z % tz == 0 and Y_out % yb == 0. Shared by the
-    single-device fused conv and the z-sharded engine (whose z pass is
-    band matmuls over halos — the y/x passes are shard-local and
-    identical)."""
-    R, Y, Z, X = a.shape
+    """Apply the fused y then x folded matmuls + rank sum to a z-pass
+    output in its NATURAL layout a[r, z, y, x]. Returns (Z, Y_out, X_out)
+    f32. Requires Z % tz == 0. Shared by the single-device fused conv
+    and the z-sharded engine (whose z pass is band matmuls over halos —
+    the y/x passes are shard-local and identical)."""
+    R, Z, Y, X = a.shape
     Yo = My.shape[1]
-    if yb is None:
-        yb = Yo
     mxt = jnp.swapaxes(Mx, 1, 2)
-    kernel = (_fused_yx_kernel_wide if X % 128 == 0
-              else _fused_yx_kernel_rows)
     # under shard_map (sharded engine) the out aval must carry the
     # varying-mesh-axes set; outside one this is the empty frozenset
     vma = getattr(jax.typeof(a), "vma", frozenset())
-    out = pl.pallas_call(
-        kernel,
-        grid=(Z // tz, Yo // yb, R),
+    params = {}
+    if vmem_limit is not None and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit))
+    return pl.pallas_call(
+        _sl_rows_kernel,
+        grid=(Z // tz, R),
         in_specs=[
-            pl.BlockSpec((1, Y, tz, X), lambda zb, ybi, r: (r, 0, zb, 0),
+            pl.BlockSpec((1, tz, Y, X), lambda zb, r: (r, zb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, yb, Y), lambda zb, ybi, r: (r, ybi, 0),
+            pl.BlockSpec((1, Yo, Y), lambda zb, r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, ybi, r: (r, 0, 0),
+            pl.BlockSpec((1, X, mxt.shape[2]), lambda zb, r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((yb, tz, mxt.shape[2]),
-                               lambda zb, ybi, r: (ybi, zb, 0),
+        out_specs=pl.BlockSpec((tz, Yo, mxt.shape[2]),
+                               lambda zb, r: (zb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Yo, Z, mxt.shape[2]),
+        out_shape=jax.ShapeDtypeStruct((Z, Yo, mxt.shape[2]),
                                        jnp.float32, vma=vma),
         interpret=interpret,
+        **params,
     )(a, My, mxt)
-    return jnp.swapaxes(out, 0, 1)
 
+
+def _zpass_kernel(mz_ref, vm_ref, o_ref):
+    """One (y-block, rank, z-block) grid step of the stacked z-pass
+    matmul: o[r, nb, yb] = Mz[r, nb] @ vm[:, yb] — the volume tile is
+    lane-collapsed to (P, ybs*X), one natural MXU matmul."""
+    mz = mz_ref[0]                   # (tn, P)
+    vm = vm_ref[:]                   # (P, ybs, X)
+    P, ybs, X = vm.shape
+    o = jnp.dot(mz, vm.reshape(P, ybs * X),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype).reshape(mz.shape[0], ybs, X)
+
+
+def plan_zpass(N: int, P: int, Y: int, X: int, itemsize: int = 2):
+    """Pick (tn, ybs, vmem_limit) for the Pallas z pass, or None
+    (callers fall back to the XLA einsum). Requires X % 128 == 0 (lane
+    collapse) — the perf shapes are lane-aligned; unaligned shapes (the
+    192^3 accuracy gate) keep the XLA path, where the layout copy costs
+    only correctness-irrelevant time. Bigger tn amortizes per-step
+    overhead (tn=256 measured 14% faster than tn=128 at 256^3)."""
+    if X % 128:
+        return None
+    for tn in (256, 128, 64, 32, 16, 8):
+        if N % tn:
+            continue
+        for ybs in (64, 32, 16, 8):
+            if Y % ybs:
+                continue
+            cost = (2 * itemsize * P * ybs * X     # vm tile, double-buffered
+                    + 2 * itemsize * tn * ybs * X  # out tile
+                    + 4 * tn * ybs * X             # f32 pre-cast result
+                    + 2 * itemsize * tn * P)
+            if cost <= _VMEM_RAISED - 8 * 1024 * 1024:
+                vlim = None if cost <= _VMEM_DEFAULT else _VMEM_RAISED
+                return tn, ybs, vlim
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "ybs", "vmem_limit"))
+def zpass_apply(Mz: jnp.ndarray, vm: jnp.ndarray, tn: int,
+                ybs: int, vmem_limit: int | None = None) -> jnp.ndarray:
+    """Stacked z-pass matmul a[r, n, y, x] = sum_p Mz[r, n, p] vm[p, y, x]
+    as a Pallas kernel. Numerically identical to the XLA einsum (one f32
+    MXU accumulation, rounded once to the matrix dtype) — it exists
+    because XLA's layout assignment gives the einsum result the
+    {3,1,2,0} (y-major) layout and then inserts a FULL LAYOUT COPY
+    (1.7 ms/conv at 256^3, 34% of the engine run — xprof, r5) to
+    satisfy the fused kernel's row-major operand constraint; barriers
+    and 2D-matmul rewrites do not dissuade it. Two custom calls with
+    pinned layouts leave `a` row-major end to end."""
+    R, N, P = Mz.shape
+    _, Y, X = vm.shape
+    vma = getattr(jax.typeof(vm), "vma", frozenset())
+    params = {}
+    if vmem_limit is not None:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit))
+    return pl.pallas_call(
+        _zpass_kernel,
+        grid=(Y // ybs, R, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, P), lambda yb, r, nb: (r, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, ybs, X), lambda yb, r, nb: (0, yb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn, ybs, X),
+                               lambda yb, r, nb: (r, nb, yb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, N, Y, X), vm.dtype, vma=vma),
+        **params,
+    )(Mz, vm)
+
+
+@jax.jit
+def fused_sl_reference(a: jnp.ndarray, My: jnp.ndarray,
+                       Mx: jnp.ndarray) -> jnp.ndarray:
+    """Numerics-identical XLA emulation of `fused_sl_apply` (f32 matmul
+    accumulation, intermediate cast back to the matrix dtype, rank sum
+    in f32). Used off-TPU inside shard_map, where interpret-mode Pallas
+    trips a JAX vma bug (dynamic_slice varying-axes mismatch); the true
+    kernel is interpret-tested single-device in tests/test_separable.py."""
+    b = jnp.einsum("rzyx,rny->rznx", a.astype(jnp.float32),
+                   My.astype(jnp.float32))
+    b = b.astype(My.dtype)
+    c = jnp.einsum("rzyx,rxn->rzyn", b.astype(jnp.float32),
+                   jnp.swapaxes(Mx, 1, 2).astype(jnp.float32))
+    return jnp.sum(c, axis=0)            # (Z, Y_out, X_out) f32
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
+                              My: jnp.ndarray, Mx: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
+    passes fused in Pallas, all in z-major layout (no transposes; see
+    module docstring). Raises when `plan_fused_sl` has no configuration
+    (the engine gates on the same plan and falls back to the XLA path).
+
+    Large volumes chunk the rank axis like the XLA chain does (see
+    `ops.separable`): the z-pass `a` array is (R, n^3) bf16 — 5.4 GB at
+    512^3 rank 20, which OOMed a 16 GB chip — so above the same voxel
+    threshold the z pass + fused y/x run per rank-chunk under a scan,
+    capping `a` at chunk size."""
+    Z, Y, X = vol.shape
+    plan = plan_fused_sl(Z, Y, X, itemsize=Mz.dtype.itemsize)
+    if plan is None:
+        raise ValueError(f"no fused plan for shape {vol.shape}")
+    tz, vlim = plan
+    mid = Mz.dtype
+    vm = vol.astype(mid)
+    R = Mz.shape[0]
+
+    def zpass_fused(mz, my, mx):
+        zp = (None if interpret else
+              plan_zpass(mz.shape[1], mz.shape[2], Y, X,
+                         itemsize=mid.itemsize))
+        if zp is not None:
+            a = zpass_apply(mz, vm, *zp)
+        else:
+            a = jnp.einsum("rnp,pyx->rnyx", mz, vm,
+                           preferred_element_type=mid)
+        return fused_sl_apply(a, my, mx, tz=tz, vmem_limit=vlim,
+                              interpret=interpret)
+
+    from spim_registration_tpu.ops.separable import (
+        _RANK_CHUNK,
+        _RANK_CHUNK_MIN_VOXELS,
+    )
+
+    if R > _RANK_CHUNK and Z * Y * X >= _RANK_CHUNK_MIN_VOXELS:
+        pad = (-R) % _RANK_CHUNK
+        if pad:  # zero rank terms contribute exactly zero
+            Mz, My, Mx = (jnp.pad(M, ((0, pad), (0, 0), (0, 0)))
+                          for M in (Mz, My, Mx))
+        n_chunks = (R + pad) // _RANK_CHUNK
+        stacks = tuple(M.reshape(n_chunks, _RANK_CHUNK, *M.shape[1:])
+                       for M in (Mz, My, Mx))
+
+        def step(acc, ms):
+            return acc + zpass_fused(*ms), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.zeros((Z, Y, X), jnp.float32), stacks)
+        return out.astype(vol.dtype)
+
+    return zpass_fused(Mz, My, Mx).astype(vol.dtype)
+
+
+# ----------------------------------------------------------------------
+# EXPERIMENTAL fully z+y+x-fused variant (r4): correct but measured 34%
+# slower than the 2-stage path at 256^3 — kept with its analysis in
+# PERF.md. Uses the r4 (R, Y, Z, X) a-layout internally.
+# ----------------------------------------------------------------------
 
 def _zfused_kernel(band_ref, my_ref, mxt_ref, vol_hbm, o_ref, win_ref,
                    sem, *, Z, tz, tzw):
@@ -169,8 +308,7 @@ def _zfused_kernel(band_ref, my_ref, mxt_ref, vol_hbm, o_ref, win_ref,
       -> My (Yo, Y) @ (Y, tz*X)            [y pass]
       -> (Yo*tz, X) @ MxT (X, Xo)          [x pass]
       -> o (Yo, tz, Xo) += .               [rank accumulation]
-    Requires X % 128 == 0 (lane-collapse reshapes, like the wide
-    kernel)."""
+    Requires X % 128 == 0 (lane-collapse reshapes)."""
     zb = pl.program_id(0)
     r = pl.program_id(1)
     s = jnp.clip(zb * tz - (tzw - tz) // 2, 0, Z - tzw)
@@ -269,71 +407,3 @@ def conv_lowrank_folded_zfused(vol: jnp.ndarray, Mz: jnp.ndarray,
         interpret=interpret,
     )(bands, My, mxt, vm)
     return jnp.swapaxes(out, 0, 1).astype(vol.dtype)
-
-
-@jax.jit
-def fused_yx_reference(a: jnp.ndarray, My: jnp.ndarray,
-                       Mx: jnp.ndarray) -> jnp.ndarray:
-    """Numerics-identical XLA emulation of `fused_yx_apply` (f32 matmul
-    accumulation, intermediate cast back to the matrix dtype, rank sum
-    in f32). Used off-TPU inside shard_map, where interpret-mode Pallas
-    trips a JAX vma bug (dynamic_slice varying-axes mismatch); the true
-    kernel is interpret-tested single-device in tests/test_separable.py."""
-    b = jnp.einsum("ryzx,rny->rnzx", a.astype(jnp.float32),
-                   My.astype(jnp.float32))
-    b = b.astype(My.dtype)
-    c = jnp.einsum("ryzx,rxn->ryzn", b.astype(jnp.float32),
-                   jnp.swapaxes(Mx, 1, 2).astype(jnp.float32))
-    out = jnp.sum(c, axis=0)            # (Y_out, Z, X_out) f32
-    return jnp.swapaxes(out, 0, 1)
-
-
-@functools.partial(jax.jit, static_argnames=("tz", "yb", "interpret"))
-def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
-                              My: jnp.ndarray, Mx: jnp.ndarray,
-                              tz: int = 16, yb: int | None = None,
-                              interpret: bool = False) -> jnp.ndarray:
-    """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
-    passes fused in Pallas. Requires Z % tz == 0 (the engine falls back
-    to the XLA path otherwise).
-
-    Large volumes chunk the rank axis like the XLA chain does (see
-    `ops.separable`): the z-pass `a` array is (R, n^3) bf16 — 5.4 GB at
-    512^3 rank 20, which OOMed a 16 GB chip — so above the same voxel
-    threshold the z pass + fused y/x run per rank-chunk under a scan,
-    capping `a` at chunk size."""
-    Z, Y, X = vol.shape
-    if Z % tz:
-        raise ValueError(f"Z={Z} not divisible by z-block {tz}")
-    mid = Mz.dtype
-    vm = vol.astype(mid)
-    R = Mz.shape[0]
-
-    def zpass_fused(mz, my, mx):
-        a = jnp.einsum("rnp,pyx->rynx", mz, vm,
-                       preferred_element_type=mid)
-        return fused_yx_apply(a, my, mx, tz=tz, yb=yb,
-                              interpret=interpret)
-
-    from spim_registration_tpu.ops.separable import (
-        _RANK_CHUNK,
-        _RANK_CHUNK_MIN_VOXELS,
-    )
-
-    if R > _RANK_CHUNK and Z * Y * X >= _RANK_CHUNK_MIN_VOXELS:
-        pad = (-R) % _RANK_CHUNK
-        if pad:  # zero rank terms contribute exactly zero
-            Mz, My, Mx = (jnp.pad(M, ((0, pad), (0, 0), (0, 0)))
-                          for M in (Mz, My, Mx))
-        n_chunks = (R + pad) // _RANK_CHUNK
-        stacks = tuple(M.reshape(n_chunks, _RANK_CHUNK, *M.shape[1:])
-                       for M in (Mz, My, Mx))
-
-        def step(acc, ms):
-            return acc + zpass_fused(*ms), None
-
-        out, _ = jax.lax.scan(
-            step, jnp.zeros((Z, Y, X), jnp.float32), stacks)
-        return out.astype(vol.dtype)
-
-    return zpass_fused(Mz, My, Mx).astype(vol.dtype)

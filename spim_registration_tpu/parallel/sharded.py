@@ -617,24 +617,33 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
             xp = halo_exchange_z(x, hz, axis_name) if hz > 0 else x
             # x.shape is the LOCAL shard shape at shard_map trace time
             from spim_registration_tpu.ops.pallas.lowrank_conv import (
-                plan_fused_yx,
+                plan_fused_sl,
             )
 
-            plan = plan_fused_yx(*x.shape) if fuse_yx else None
+            plan = (plan_fused_sl(*x.shape, itemsize=mid_t.itemsize)
+                    if fuse_yx else None)
             if plan is not None:
                 from spim_registration_tpu.ops.pallas.lowrank_conv import (
-                    fused_yx_apply,
-                    fused_yx_reference,
+                    fused_sl_apply,
+                    fused_sl_reference,
+                    plan_zpass,
+                    zpass_apply,
                 )
 
-                a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
-                               preferred_element_type=mid_t)
-                ay = jnp.swapaxes(a, 1, 2)
+                # z-major layout throughout (no transposes; r5 redesign)
+                zp = (None if _interp else
+                      plan_zpass(Tz.shape[1], Tz.shape[2], x.shape[1],
+                                 x.shape[2], itemsize=mid_t.itemsize))
+                if zp is not None:  # copy-free Pallas z pass (see zpass_apply)
+                    a = zpass_apply(Tz, xp.astype(mid_t), *zp)
+                else:
+                    a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
+                                   preferred_element_type=mid_t)
                 if _interp:  # off-TPU: numerics-identical XLA emulation
-                    return fused_yx_reference(ay, My, Mx).astype(x.dtype)
-                tz_, yb_ = plan
-                return fused_yx_apply(ay, My, Mx, tz=tz_,
-                                      yb=yb_).astype(x.dtype)
+                    return fused_sl_reference(a, My, Mx).astype(x.dtype)
+                tz_, vlim_ = plan
+                return fused_sl_apply(a, My, Mx, tz=tz_,
+                                      vmem_limit=vlim_).astype(x.dtype)
             a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                            preferred_element_type=mid_t)
             b = jnp.einsum("rzpx,rnp->rznx", a, My,
