@@ -153,6 +153,44 @@ def _zpass_kernel(mz_ref, vm_ref, o_ref):
     o_ref[0] = o.astype(o_ref.dtype).reshape(mz.shape[0], ybs, X)
 
 
+def _zpass_banded_kernel(mz_ref, vm_ref, o_ref, *, blocks, W):
+    """Banded variant of `_zpass_kernel`: the folded conv matrices are
+    BAND matrices (bandwidth = kernel taps; mirror folds stay within the
+    half-support), so each output-row block contracts only its W-wide
+    K window — one MXU K-tile instead of P/128 (half the executed MACs
+    at P=256, 4x fewer at P=512). All slices are static."""
+    mz = mz_ref[0]                   # (N, P)
+    v = vm_ref[:]                    # (P, ybs, X)
+    P, yb, X = v.shape
+    v2 = v.reshape(P, yb * X)
+    for (s, ln, ws) in blocks:
+        o = jnp.dot(mz[s:s + ln, ws:ws + W], v2[ws:ws + W],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, s:s + ln] = o.astype(o_ref.dtype).reshape(ln, yb, X)
+
+
+def band_blocks(N: int, P: int, rad: int, off: int = 0,
+                min_block: int = 8):
+    """Static (out_start, out_len, win_start) blocks + window width for a
+    band matrix with half-support `rad` whose band center for output row
+    i is column i + off (off = (P - N) // 2 for halo band matrices).
+    None when the window would not beat the dense contraction."""
+    W = 128
+    while W - 2 * rad < min_block:
+        W += 128
+    if W >= P:
+        return None
+    bs = (W - 2 * rad) & ~7
+    blocks = []
+    s = 0
+    while s < N:
+        ln = min(bs, N - s)
+        ws = min(max(s + off - rad, 0), P - W)
+        blocks.append((s, ln, ws))
+        s += ln
+    return tuple(blocks), W
+
+
 def plan_zpass(N: int, P: int, Y: int, X: int, itemsize: int = 2):
     """Pick (tn, ybs, vmem_limit) for the Pallas z pass, or None
     (callers fall back to the XLA einsum). Requires X % 128 == 0 (lane
@@ -174,13 +212,50 @@ def plan_zpass(N: int, P: int, Y: int, X: int, itemsize: int = 2):
                     + 2 * itemsize * tn * P)
             if cost <= _VMEM_RAISED - 8 * 1024 * 1024:
                 vlim = None if cost <= _VMEM_DEFAULT else _VMEM_RAISED
-                return tn, ybs, vlim
+                return ("dense", tn, ybs, vlim)
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "ybs", "vmem_limit"))
-def zpass_apply(Mz: jnp.ndarray, vm: jnp.ndarray, tn: int,
-                ybs: int, vmem_limit: int | None = None) -> jnp.ndarray:
+def plan_zpass_banded(N: int, P: int, Y: int, X: int, rad: int,
+                      off: int = 0, itemsize: int = 2):
+    """Banded z-pass plan ("banded", blocks, W, ybs, vlim) when the band
+    window beats the dense contraction AND the full-N working set fits
+    VMEM; falls back to `plan_zpass`. `rad` is the kernel's z
+    half-support; `off` the band-center offset ((P - N) // 2 for the
+    sharded engine's halo band matrices)."""
+    if X % 128:
+        return None
+    bb = band_blocks(N, P, rad, off)
+    if bb is not None:
+        blocks, W = bb
+        bs = blocks[0][1]
+        for ybs in (64, 32, 16, 8):
+            if Y % ybs:
+                continue
+            cost = (2 * itemsize * P * ybs * X    # vm tile, double-buffered
+                    + 2 * itemsize * N * ybs * X  # out tile (full N)
+                    + 4 * bs * ybs * X            # f32 per-block result
+                    + 2 * itemsize * N * P)       # matrix tile
+            if cost <= _VMEM_RAISED - 8 * 1024 * 1024:
+                vlim = None if cost <= _VMEM_DEFAULT else _VMEM_RAISED
+                return ("banded", blocks, W, ybs, vlim)
+    return plan_zpass(N, P, Y, X, itemsize=itemsize)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def zpass_apply_planned(Mz: jnp.ndarray, vm: jnp.ndarray,
+                        plan) -> jnp.ndarray:
+    """Dispatch a `plan_zpass`/`plan_zpass_banded` plan."""
+    if plan[0] == "banded":
+        _, blocks, W, ybs, vlim = plan
+        return _zpass_call(
+            functools.partial(_zpass_banded_kernel, blocks=blocks, W=W),
+            Mz, vm, Mz.shape[1], ybs, vlim)
+    _, tn, ybs, vlim = plan
+    return _zpass_call(_zpass_kernel, Mz, vm, tn, ybs, vlim)
+
+
+def _zpass_call(kernel, Mz, vm, tn, ybs, vmem_limit):
     """Stacked z-pass matmul a[r, n, y, x] = sum_p Mz[r, n, p] vm[p, y, x]
     as a Pallas kernel. Numerically identical to the XLA einsum (one f32
     MXU accumulation, rounded once to the matrix dtype) — it exists
@@ -198,7 +273,7 @@ def zpass_apply(Mz: jnp.ndarray, vm: jnp.ndarray, tn: int,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit))
     return pl.pallas_call(
-        _zpass_kernel,
+        kernel,
         grid=(Y // ybs, R, N // tn),
         in_specs=[
             pl.BlockSpec((1, tn, P), lambda yb, r, nb: (r, nb, 0),
@@ -212,6 +287,13 @@ def zpass_apply(Mz: jnp.ndarray, vm: jnp.ndarray, tn: int,
         out_shape=jax.ShapeDtypeStruct((R, N, Y, X), vm.dtype, vma=vma),
         **params,
     )(Mz, vm)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "ybs", "vmem_limit"))
+def zpass_apply(Mz: jnp.ndarray, vm: jnp.ndarray, tn: int,
+                ybs: int, vmem_limit: int | None = None) -> jnp.ndarray:
+    """Dense-contraction z pass (see `_zpass_call`)."""
+    return _zpass_call(_zpass_kernel, Mz, vm, tn, ybs, vmem_limit)
 
 
 @jax.jit
@@ -230,10 +312,11 @@ def fused_sl_reference(a: jnp.ndarray, My: jnp.ndarray,
     return jnp.sum(c, axis=0)            # (Z, Y_out, X_out) f32
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "rad_z"))
 def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
                               My: jnp.ndarray, Mx: jnp.ndarray,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              rad_z: int | None = None) -> jnp.ndarray:
     """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
     passes fused in Pallas, all in z-major layout (no transposes; see
     module docstring). Raises when `plan_fused_sl` has no configuration
@@ -254,11 +337,16 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
     R = Mz.shape[0]
 
     def zpass_fused(mz, my, mx):
-        zp = (None if interpret else
-              plan_zpass(mz.shape[1], mz.shape[2], Y, X,
-                         itemsize=mid.itemsize))
+        if interpret:
+            zp = None
+        elif rad_z is not None:  # band half-support known: banded plan
+            zp = plan_zpass_banded(mz.shape[1], mz.shape[2], Y, X,
+                                   rad_z, itemsize=mid.itemsize)
+        else:
+            zp = plan_zpass(mz.shape[1], mz.shape[2], Y, X,
+                            itemsize=mid.itemsize)
         if zp is not None:
-            a = zpass_apply(mz, vm, *zp)
+            a = zpass_apply_planned(mz, vm, zp)
         else:
             a = jnp.einsum("rnp,pyx->rnyx", mz, vm,
                            preferred_element_type=mid)

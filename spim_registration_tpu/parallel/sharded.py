@@ -626,16 +626,18 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                 from spim_registration_tpu.ops.pallas.lowrank_conv import (
                     fused_sl_apply,
                     fused_sl_reference,
-                    plan_zpass,
-                    zpass_apply,
+                    plan_zpass_banded,
+                    zpass_apply_planned,
                 )
 
-                # z-major layout throughout (no transposes; r5 redesign)
+                # z-major layout throughout (no transposes; r5 redesign);
+                # Tz is a halo band matrix (band center offset hz)
                 zp = (None if _interp else
-                      plan_zpass(Tz.shape[1], Tz.shape[2], x.shape[1],
-                                 x.shape[2], itemsize=mid_t.itemsize))
-                if zp is not None:  # copy-free Pallas z pass (see zpass_apply)
-                    a = zpass_apply(Tz, xp.astype(mid_t), *zp)
+                      plan_zpass_banded(Tz.shape[1], Tz.shape[2],
+                                        x.shape[1], x.shape[2], rad=hz,
+                                        off=hz, itemsize=mid_t.itemsize))
+                if zp is not None:  # copy-free Pallas z pass (see _zpass_call)
+                    a = zpass_apply_planned(Tz, xp.astype(mid_t), zp)
                 else:
                     a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                                    preferred_element_type=mid_t)
