@@ -53,6 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 # 512^2 cross-sections measured working on v5e at this limit
 _VMEM_RAISED = 64 * 1024 * 1024
 _VMEM_DEFAULT = 15_500_000
+# cap on the z-pass intermediate `a` (R, Z, Y, X); above it the conv
+# runs in z-slabs (see conv_lowrank_folded_fused)
+_A_SLAB_BYTES = 1 << 30
 
 
 def _sl_rows_kernel(a_ref, my_ref, mxt_ref, o_ref):
@@ -242,20 +245,21 @@ def plan_zpass_banded(N: int, P: int, Y: int, X: int, rad: int,
     return plan_zpass(N, P, Y, X, itemsize=itemsize)
 
 
-@functools.partial(jax.jit, static_argnames=("plan",))
-def zpass_apply_planned(Mz: jnp.ndarray, vm: jnp.ndarray,
-                        plan) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def zpass_apply_planned(Mz: jnp.ndarray, vm: jnp.ndarray, plan,
+                        interpret: bool = False) -> jnp.ndarray:
     """Dispatch a `plan_zpass`/`plan_zpass_banded` plan."""
     if plan[0] == "banded":
         _, blocks, W, ybs, vlim = plan
         return _zpass_call(
             functools.partial(_zpass_banded_kernel, blocks=blocks, W=W),
-            Mz, vm, Mz.shape[1], ybs, vlim)
+            Mz, vm, Mz.shape[1], ybs, vlim, interpret=interpret)
     _, tn, ybs, vlim = plan
-    return _zpass_call(_zpass_kernel, Mz, vm, tn, ybs, vlim)
+    return _zpass_call(_zpass_kernel, Mz, vm, tn, ybs, vlim,
+                       interpret=interpret)
 
 
-def _zpass_call(kernel, Mz, vm, tn, ybs, vmem_limit):
+def _zpass_call(kernel, Mz, vm, tn, ybs, vmem_limit, interpret=False):
     """Stacked z-pass matmul a[r, n, y, x] = sum_p Mz[r, n, p] vm[p, y, x]
     as a Pallas kernel. Numerically identical to the XLA einsum (one f32
     MXU accumulation, rounded once to the matrix dtype) — it exists
@@ -269,11 +273,12 @@ def _zpass_call(kernel, Mz, vm, tn, ybs, vmem_limit):
     _, Y, X = vm.shape
     vma = getattr(jax.typeof(vm), "vma", frozenset())
     params = {}
-    if vmem_limit is not None:
+    if vmem_limit is not None and not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit))
     return pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(Y // ybs, R, N // tn),
         in_specs=[
             pl.BlockSpec((1, tn, P), lambda yb, r, nb: (r, nb, 0),
@@ -322,11 +327,16 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
     module docstring). Raises when `plan_fused_sl` has no configuration
     (the engine gates on the same plan and falls back to the XLA path).
 
-    Large volumes chunk the rank axis like the XLA chain does (see
-    `ops.separable`): the z-pass `a` array is (R, n^3) bf16 — 5.4 GB at
-    512^3 rank 20, which OOMed a 16 GB chip — so above the same voxel
-    threshold the z pass + fused y/x run per rank-chunk under a scan,
-    capping `a` at chunk size."""
+    Large volumes run the conv in Z-SLABS instead of the XLA chain's
+    rank chunks: the z-pass `a` array is (R, n^3) bf16 — 5.4 GB at
+    512^3 rank 20, which OOMed a 16 GB chip — so when `a` would exceed
+    `_A_SLAB_BYTES` the z pass + fused y/x run per output z-slab at
+    FULL rank (the z-pass matrices are sliced to the slab's rows; the
+    banded plan's `off` tracks the slab's band-center shift). Unlike
+    rank chunking this has NO accumulator round trips (each output
+    region is written exactly once — the rank-chunk scan's per-chunk
+    f32 (Z,Y,X) accumulator read+write cost ~1.3 ms/chunk/conv at
+    512^3), and the per-kernel input reads are identical."""
     Z, Y, X = vol.shape
     plan = plan_fused_sl(Z, Y, X, itemsize=Mz.dtype.itemsize)
     if plan is None:
@@ -336,12 +346,12 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
     vm = vol.astype(mid)
     R = Mz.shape[0]
 
-    def zpass_fused(mz, my, mx):
+    def zpass_fused(mz, my, mx, off):
         if interpret:
             zp = None
         elif rad_z is not None:  # band half-support known: banded plan
             zp = plan_zpass_banded(mz.shape[1], mz.shape[2], Y, X,
-                                   rad_z, itemsize=mid.itemsize)
+                                   rad_z, off=off, itemsize=mid.itemsize)
         else:
             zp = plan_zpass(mz.shape[1], mz.shape[2], Y, X,
                             itemsize=mid.itemsize)
@@ -353,28 +363,17 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
         return fused_sl_apply(a, my, mx, tz=tz, vmem_limit=vlim,
                               interpret=interpret)
 
-    from spim_registration_tpu.ops.separable import (
-        _RANK_CHUNK,
-        _RANK_CHUNK_MIN_VOXELS,
-    )
+    asize = R * Z * Y * X * mid.itemsize
+    if asize > _A_SLAB_BYTES:
+        sl = max(tz, _A_SLAB_BYTES // (R * Y * X * mid.itemsize)
+                 // tz * tz)
+        pieces = []
+        for s in range(0, Z, sl):
+            ln = min(sl, Z - s)          # Z % tz == 0 -> ln % tz == 0
+            pieces.append(zpass_fused(Mz[:, s:s + ln, :], My, Mx, s))
+        return jnp.concatenate(pieces, axis=0).astype(vol.dtype)
 
-    if R > _RANK_CHUNK and Z * Y * X >= _RANK_CHUNK_MIN_VOXELS:
-        pad = (-R) % _RANK_CHUNK
-        if pad:  # zero rank terms contribute exactly zero
-            Mz, My, Mx = (jnp.pad(M, ((0, pad), (0, 0), (0, 0)))
-                          for M in (Mz, My, Mx))
-        n_chunks = (R + pad) // _RANK_CHUNK
-        stacks = tuple(M.reshape(n_chunks, _RANK_CHUNK, *M.shape[1:])
-                       for M in (Mz, My, Mx))
-
-        def step(acc, ms):
-            return acc + zpass_fused(*ms), None
-
-        out, _ = jax.lax.scan(
-            step, jnp.zeros((Z, Y, X), jnp.float32), stacks)
-        return out.astype(vol.dtype)
-
-    return zpass_fused(Mz, My, Mx).astype(vol.dtype)
+    return zpass_fused(Mz, My, Mx, 0).astype(vol.dtype)
 
 
 # ----------------------------------------------------------------------

@@ -284,3 +284,109 @@ def test_zfused_conv_matches_reference():
         jnp.asarray(Mx), hz=hz, tz=8, interpret=True))
     nrmse = np.sqrt(np.mean((out - ref) ** 2)) / (ref.max() - ref.min())
     assert nrmse < 1e-5, nrmse
+
+
+def test_band_blocks_cover_folded_matrices():
+    """Every nonzero of a mirror-folded conv matrix lies inside the
+    window `band_blocks` assigns to its output-row block (the banded
+    z-pass contracts ONLY the window — coverage must be exact)."""
+    from spim_registration_tpu.ops.pallas.lowrank_conv import band_blocks
+    from spim_registration_tpu.ops.separable import folded_conv_matrices
+
+    rng = np.random.default_rng(3)
+    for n, taps in ((256, 19), (192, 33), (160, 9), (512, 65)):
+        rad = (taps - 1) // 2
+        az = rng.standard_normal((3, taps))
+        M = folded_conv_matrices(az, az, az, (n, n, n))[0]
+        bb = band_blocks(n, n, rad)
+        if bb is None:
+            continue
+        blocks, W = bb
+        covered = np.zeros(n, bool)
+        for (s, ln, ws) in blocks:
+            sub = M[:, s:s + ln, :]
+            outside = np.concatenate(
+                [sub[:, :, :ws], sub[:, :, ws + W:]], axis=2)
+            assert not outside.any(), (n, taps, s)
+            covered[s:s + ln] = True
+        assert covered.all()
+
+
+def test_band_blocks_cover_halo_band_matrices():
+    """Halo band matrices (z pass of the sharded engine): band center
+    offset (P - N) // 2."""
+    from spim_registration_tpu.ops.pallas.lowrank_conv import band_blocks
+    from spim_registration_tpu.parallel.sharded import _z_band_matrices
+
+    rng = np.random.default_rng(4)
+    for zl, taps in ((256, 19), (320, 33)):
+        az = rng.standard_normal((2, taps))
+        T = _z_band_matrices(az, zl)              # (R, zl, zl+taps-1)
+        rad = (taps - 1) // 2
+        bb = band_blocks(zl, zl + taps - 1, rad, off=rad)
+        if bb is None:
+            continue
+        blocks, W = bb
+        for (s, ln, ws) in blocks:
+            sub = T[:, s:s + ln, :]
+            outside = np.concatenate(
+                [sub[:, :, :ws], sub[:, :, ws + W:]], axis=2)
+            assert not outside.any(), (zl, taps, s)
+
+
+def test_zpass_banded_kernel_matches_dense(rng):
+    """The banded z-pass Pallas kernel (interpret mode) == the dense
+    einsum on a genuinely banded matrix, for square folded AND offset
+    halo-band shapes, including a z-slab offset."""
+    from spim_registration_tpu.ops.pallas.lowrank_conv import (
+        band_blocks,
+        zpass_apply_planned,
+    )
+    from spim_registration_tpu.ops.separable import folded_conv_matrices
+
+    n, taps, R = 160, 9, 3
+    rad = (taps - 1) // 2
+    az = rng.standard_normal((R, taps))
+    Mz = jnp.asarray(folded_conv_matrices(az, az, az, (n, 16, 128))[0],
+                     jnp.float32)
+    vm = jnp.asarray(rng.standard_normal((n, 16, 128)), jnp.float32)
+    ref = np.asarray(jnp.einsum("rnp,pyx->rnyx", Mz, vm))
+    blocks, W = band_blocks(n, n, rad)
+    plan = ("banded", blocks, W, 16, None)
+    got = np.asarray(zpass_apply_planned(Mz, vm, plan, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+    # z-slab offset: rows [64, 160) of the same operator
+    s0 = 64
+    Mzs = Mz[:, s0:, :]
+    bb = band_blocks(n - s0, n, rad, off=s0)
+    assert bb is not None
+    plan2 = ("banded", bb[0], bb[1], 16, None)
+    got2 = np.asarray(zpass_apply_planned(Mzs, vm, plan2, interpret=True))
+    np.testing.assert_allclose(got2, ref[:, s0:], rtol=0, atol=1e-4)
+
+
+def test_zslab_fused_conv_matches_single_shot(rng, monkeypatch):
+    """The z-slab large-volume path (a-array capped) == the one-shot
+    fused conv, ragged last slab included."""
+    from spim_registration_tpu.ops.pallas import lowrank_conv as lc
+    from spim_registration_tpu.ops.separable import (
+        folded_conv_matrices,
+        lowrank_decompose,
+    )
+
+    k = rng.random((5, 7, 5))
+    k /= k.sum()
+    az, ay, ax, _ = lowrank_decompose(k, 3)
+    shape = (48, 16, 128)
+    Ms = [jnp.asarray(M, jnp.float32)
+          for M in folded_conv_matrices(az, ay, ax, shape)]
+    vol = jnp.asarray(rng.random(shape), jnp.float32)
+    ref = np.asarray(lc.conv_lowrank_folded_fused(vol, *Ms,
+                                                  interpret=True))
+    # force slabs of 16 z-rows (3 slabs; also exercises rad_z plumbing)
+    monkeypatch.setattr(lc, "_A_SLAB_BYTES", az.shape[0] * 16 * 16 * 128 * 4)
+    got = np.asarray(lc.conv_lowrank_folded_fused(
+        vol, *Ms, interpret=True, rad_z=(az.shape[1] - 1) // 2))
+    nr = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert nr < 1e-6, nr
