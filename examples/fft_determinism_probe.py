@@ -94,9 +94,47 @@ def main():
         print(f"rfftn+irfftn roundtrip z={n}: repeat-diff {d:.3e}",
               file=sys.stderr)
 
+    # INNERMOST-axis sweep at ~30M elements (the failure regime): the
+    # r5 measurement that fixed the policy. Only 288 is dirty — 256,
+    # 270, 300, 320, 360, 384, 400, 432, 480, 512, 576, 640 all
+    # bit-repeat (even 576 = 2*288).
+    for inner in (256, 270, 288, 300, 320, 384, 512, 576, 640):
+        z = ((int(np.ceil(30e6 / (320 * inner))) + 7) // 8) * 8
+        fs = (z, 320, inner)
+        x = jnp.asarray(rng.normal(size=fs).astype(np.float32))
+        rt = jax.jit(lambda v, fs=fs: jnp.fft.irfftn(
+            jnp.fft.rfftn(v, s=fs), s=fs))
+        d = repeat_diff(rt, x)
+        results[f"innermost_{inner}"] = d
+        print(f"innermost {inner} at {fs} (~30M): repeat-diff {d:.3e}",
+              file=sys.stderr)
+
+    # POLICY ASSERTION: every shape `fft_shape_for`/`pad_shape_for` can
+    # pick at deployment scales must bit-repeat (the policy blocklists
+    # 288; everything it returns here must measure 0.0).
+    policy_fail = []
+    for img, kshape in (((256, 256, 256), (33, 33, 33)),
+                        ((512, 512, 512), (33, 33, 33)),
+                        ((384, 384, 384), (19, 19, 19))):
+        fs = pad_shape_for(img, kshape)
+        assert fs[-1] not in (288,), fs
+        x = jnp.asarray(rng.normal(size=fs).astype(np.float32))
+        rt = jax.jit(lambda v, fs=fs: jnp.fft.irfftn(
+            jnp.fft.rfftn(v, s=fs), s=fs))
+        d = repeat_diff(rt, x)
+        results[f"policy_{img[0]}"] = dict(fft_shape=list(fs), diff=d)
+        status = "OK" if d == 0.0 else "POLICY VIOLATION"
+        print(f"policy shape {img} -> {fs}: repeat-diff {d:.3e} {status}",
+              file=sys.stderr)
+        if d != 0.0:
+            policy_fail.append(fs)
+
     import json
 
     print(json.dumps(results))
+    if policy_fail:
+        print(f"POLICY FAILURE: {policy_fail}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ from spim_registration_tpu.deconv.lucy_richardson import (
     DeconvolutionParameters,
     compound_kernels,
 )
-from spim_registration_tpu.ops.fftconv import _fft_size
+from spim_registration_tpu.ops.fftconv import fft_shape_for
 from spim_registration_tpu.ops.gaussian import mirror_pad
 
 
@@ -305,10 +305,10 @@ class BlockedDeconvolutionRunner:
 
         for v in range(len(inputs.psfs)):
             r1, r2 = self.r1[v], self.r2[v]
-            fs1 = (_fft_size(self.bz + 2 * self.hz),
-                   _fft_size(Y + 2 * r1[1]), _fft_size(X + 2 * r1[2]))
-            fs2 = (_fft_size(self.bz + 2 * self.r2z),
-                   _fft_size(Y + 2 * r2[1]), _fft_size(X + 2 * r2[2]))
+            fs1 = fft_shape_for((self.bz + 2 * self.hz,
+                                 Y + 2 * r1[1], X + 2 * r1[2]))
+            fs2 = fft_shape_for((self.bz + 2 * self.r2z,
+                                 Y + 2 * r2[1], X + 2 * r2[2]))
             self.fs1.append(fs1)
             self.fs2.append(fs2)
             self.k1f.append(prepare_kernel_fft(

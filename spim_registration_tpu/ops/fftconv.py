@@ -37,11 +37,37 @@ def _fft_size(n: int) -> int:
         m += 1
 
 
+# XLA-TPU's c2r inverse FFT (irfftn) with an innermost (real/halved)
+# axis of 288 is NONDETERMINISTIC on transforms above ~22M elements:
+# identical input, same executable, repeat-diff up to 0.46 (white
+# spectrum) — measured r4/r5, examples/fft_determinism_probe.py. Every
+# OTHER tested innermost size (256, 270, 300, 320, 360, 384, 400, 432,
+# 480, 512, 576, 640) bit-repeats at 30M elements, as do all forward
+# rfftn transforms. Policy: skip blocklisted innermost sizes above the
+# threshold — for 256^3 + 33-tap kernels this bumps 288 -> 300 (+4%
+# innermost-axis cost) and makes the exact-FFT engine bit-deterministic
+# at the deployment shape (the accuracy gate runs at 256^3 since r5).
+_IRFFT_BAD_INNERMOST = frozenset({288})
+_IRFFT_DET_THRESHOLD = 16_000_000
+
+
+def fft_shape_for(lengths) -> tuple:
+    """FFT-friendly sizes for already-padded lengths, with the
+    deterministic-innermost policy applied (see blocklist note)."""
+    dims = [_fft_size(n) for n in lengths]
+    total = int(np.prod(dims))
+    if total > _IRFFT_DET_THRESHOLD:
+        while dims[-1] in _IRFFT_BAD_INNERMOST:
+            dims[-1] = _fft_size(dims[-1] + 1)
+    return tuple(dims)
+
+
 def pad_shape_for(img_shape, kernel_shape):
-    """Expanded FFT shape: image + kernel support, rounded to friendly sizes."""
-    return tuple(
-        _fft_size(i + 2 * (k // 2)) for i, k in zip(img_shape, kernel_shape)
-    )
+    """Expanded FFT shape: image + kernel support, rounded to friendly
+    sizes (innermost axis restricted to bit-deterministic sizes for
+    large transforms — see `fft_shape_for`)."""
+    return fft_shape_for(
+        [i + 2 * (k // 2) for i, k in zip(img_shape, kernel_shape)])
 
 
 def prepare_kernel_fft(kernel: jnp.ndarray, fft_shape) -> jnp.ndarray:

@@ -111,6 +111,15 @@ def _fft_len(n: int) -> int:
         m += 1
 
 
+def _fshape3(z, y, x):
+    """Per-shard FFT shape with the deterministic-innermost policy of
+    `ops.fftconv.fft_shape_for` (skip innermost sizes whose XLA-TPU c2r
+    lowering is nondeterministic on large transforms)."""
+    from spim_registration_tpu.ops.fftconv import fft_shape_for
+
+    return fft_shape_for((z, y, x))
+
+
 def _local_fft_conv(xp, kfft, zl, h, fshape):
     """Convolve an exchanged block (zl+2h, Y, X); crop to the interior.
 
@@ -161,7 +170,7 @@ def sharded_fft_convolve(vol, kernel, mesh: Mesh, axis_name: str = "z"):
         vol = np.asarray(vol)[src] if isinstance(vol, np.ndarray) \
             else jnp.asarray(vol)[jnp.asarray(src)]
     ry, rx = ky // 2, kx // 2
-    fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
+    fshape = _fshape3(zl + 2 * h, Y + 2 * ry, X + 2 * rx)
 
     kernel = jnp.asarray(kernel, jnp.float32)
 
@@ -527,7 +536,7 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
 
     h = kshape[0] // 2
     ry, rx = kshape[1] // 2, kshape[2] // 2
-    fshape = (_fft_len(zl + 2 * h), _fft_len(Y + 2 * ry), _fft_len(X + 2 * rx))
+    fshape = _fshape3(zl + 2 * h, Y + 2 * ry, X + 2 * rx)
 
     if conv_backend == "lowrank" and not lowrank_stacked:
         for entries in (k1, k2):
