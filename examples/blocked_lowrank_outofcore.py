@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--block-z", type=int, default=None)
     ap.add_argument("--workdir", default="/tmp/spim_ooc")
     ap.add_argument("--backends", default="lowrank,fft")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="round-robin z-blocks across an N-device mesh "
+                         "(mesh x out-of-core; 0 = single device)")
     args = ap.parse_args()
     shape = (args.shape,) * 3
     os.makedirs(args.workdir, exist_ok=True)
@@ -132,8 +135,14 @@ def main():
         psi = RawVolumeStore(
             os.path.join(args.workdir, f"psi_{backend}.raw"), shape,
             create=True)
+        mesh = None
+        if args.mesh:
+            import jax
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[:args.mesh]), ("z",))
         runner = BlockedDeconvolutionRunner(
-            inputs, psi, params, block_z=args.block_z)
+            inputs, psi, params, block_z=args.block_z, mesh=mesh)
         print(f"{backend}: block_z={runner.bz} hz={runner.hz}",
               file=sys.stderr)
         t0 = time.time()

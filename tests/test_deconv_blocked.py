@@ -192,3 +192,28 @@ def test_blocked_lowrank_fft_fallback_mix(problem):
     nrmse = np.sqrt(np.mean((psi_store.array - ref) ** 2)) \
         / (ref.max() - ref.min())
     assert nrmse < 1e-5, nrmse
+
+
+def test_blocked_meshed_matches_single_device(problem):
+    """MESH x OUT-OF-CORE (VERDICT r4 next #4): z-blocks round-robined
+    across an 8-device mesh (groups run as one sharded program) ==
+    the single-device block loop, for BOTH conv backends, including a
+    ragged group (4 blocks on 8 devices) and multiple groups."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    images, weights, psfs = problem
+    inputs = _blocked_inputs(images, weights, psfs)
+    for params, tol in ((_params(2), 1e-6), (_params_lr(2), 1e-6)):
+        for bz in (12, 6):  # 4 blocks (padded group) / 8 blocks (full)
+            s_ref = ArrayStore(np.zeros(SHAPE, np.float32))
+            BlockedDeconvolutionRunner(
+                inputs, s_ref, params, block_z=bz).run()
+            s_got = ArrayStore(np.zeros(SHAPE, np.float32))
+            BlockedDeconvolutionRunner(
+                inputs, s_got, params, block_z=bz, mesh=mesh).run()
+            scale = s_ref.array.max() - s_ref.array.min()
+            nrmse = np.sqrt(np.mean(
+                (s_got.array - s_ref.array) ** 2)) / scale
+            assert nrmse < tol, (params.conv_backend, bz, nrmse)
