@@ -199,11 +199,21 @@ def cmd_detect(args):
         # coarser; config under `dom.*` (radius1/radius2/threshold)
         from spim_registration_tpu.detect.dom import detect_beads_dom
 
+        mesh = _mesh_from_args(args)
         pstr = (f"DoM r1={cfg.dom.radius1} r2={cfg.dom.radius2} "
                 f"t={cfg.dom.threshold}")
         for vid in sorted(ds.views):
-            pts, resp = detect_beads_dom(
-                np.asarray(ds.get_image(vid)), cfg.dom)
+            if mesh is not None:  # z-sharded DoM (no silent single-dev)
+                from spim_registration_tpu.parallel.sharded_detect import (
+                    sharded_detect_beads_dom,
+                )
+
+                pts, resp = sharded_detect_beads_dom(
+                    np.asarray(ds.get_image(vid)), cfg.dom, mesh,
+                    axis_name=mesh.axis_names[-1])
+            else:
+                pts, resp = detect_beads_dom(
+                    np.asarray(ds.get_image(vid)), cfg.dom)
             ds.set_interest_points(vid, cfg.label, pts, resp,
                                    parameters=pstr)
     else:

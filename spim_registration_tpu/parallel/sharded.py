@@ -271,7 +271,23 @@ def _z_band_matrices(az: np.ndarray, zl: int) -> np.ndarray:
     return T
 
 
-def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None):
+def _clamp_kernel_z(k, max_taps):
+    """Center-crop a kernel's z support to `max_taps` (odd) and
+    renormalize — the lowrank twin of `_fit`'s z clamp (r5 advisor: the
+    ragged-depth pad >= h guarantee derives from the _kshape-CLAMPED
+    kernel, so a raw PSF wider than 2*Zp - 1 must be clamped before
+    decomposition, not silently decomposed at full width)."""
+    k = np.asarray(k)
+    if k.shape[0] <= max_taps:
+        return k, False
+    off = (k.shape[0] - max_taps) // 2
+    kc = k[off:off + max_taps].copy()
+    kc /= max(kc.sum(), 1e-12)
+    return kc, True
+
+
+def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None,
+                             max_z_taps=None):
     """Per-kernel sharded-lowrank entries mirroring the single-device
     `deconv.lucy_richardson._folded_matrix_banks` contract:
       {"mat": (Tz, My, Mx)} — z Toeplitz band + y/x mirror-folded
@@ -293,6 +309,10 @@ def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None):
     entries, errs = [], []
     for i, k in enumerate(kernels):
         fac = factors[i] if factors is not None else None
+        if max_z_taps is not None:
+            k, clamped = _clamp_kernel_z(k, max_z_taps)
+            if clamped:  # exact factors no longer match the clamped kernel
+                fac = None
         az, ay, ax, err = decompose_for_rl(
             np.asarray(k, np.float64), params.psf_rank,
             max_error=float("inf"), adapt_tol=params.psf_rank_tol,
@@ -521,8 +541,9 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         factors = getattr(prep, "psf_factors", None)
         k1, errs1 = _sharded_lowrank_entries(
             [np.asarray(p) for p in prep.psfs], (Z, Y, X), zl, params,
-            factors=factors)
-        k2, errs2 = _sharded_lowrank_entries(k2s, (Z, Y, X), zl, params)
+            factors=factors, max_z_taps=kshape[0])
+        k2, errs2 = _sharded_lowrank_entries(k2s, (Z, Y, X), zl, params,
+                                             max_z_taps=kshape[0])
         # kernels that missed the tolerance at the escalated rank cap run
         # on the exact per-shard FFT path (same per-kernel mix as the
         # single-device engine); they use the common fshape/h below

@@ -35,7 +35,9 @@ class RunConfig:
     # `cli detect --method dom`
     dom: DoMParameters = DoMParameters()
     pairwise: PairwiseParameters = PairwiseParameters()
-    global_opt: GlobalOptParameters = GlobalOptParameters()
+    # pipeline opt-in: wrong-link trimming on (see run.py note)
+    global_opt: GlobalOptParameters = GlobalOptParameters(
+        outlier_trim_rounds=2)
     fusion: FusionParameters = FusionParameters()
     deconvolution: DeconvolutionParameters = DeconvolutionParameters()
     label: str = "beads"

@@ -36,7 +36,10 @@ logger = get_logger("pipeline")
 class RegistrationConfig:
     detection: DoGParameters = DoGParameters()
     pairwise: PairwiseParameters = PairwiseParameters()
-    global_opt: GlobalOptParameters = GlobalOptParameters()
+    # the pipeline opts IN to post-solve wrong-link trimming (2
+    # rounds) — bare solve_global defaults to 0 (r5 advisor)
+    global_opt: GlobalOptParameters = GlobalOptParameters(
+        outlier_trim_rounds=2)
     # retry invalid pairs with this matching method (the manual
     # GH-vs-RGLDM method switch of the reference GUI, automated);
     # None disables the fallback

