@@ -49,16 +49,27 @@ def _fft_size(n: int) -> int:
 # at the deployment shape (the accuracy gate runs at 256^3 since r5).
 _IRFFT_BAD_INNERMOST = frozenset({288})
 _IRFFT_DET_THRESHOLD = 16_000_000
+# Sizes whose XLA-TPU FFT lowering is measured SLOW on every axis at
+# large transforms (r5, examples/fft_determinism_probe.py region):
+# 288^3-class roundtrips at 26.8 ms vs 300^3 at 16.0 ms (-40%!), and
+# 576^3 at 190.8 vs 600^3 at 173.7 — skipping them is both the
+# determinism fix AND a speed win (the exact-FFT engine gained 14%
+# from the innermost skip alone, more with the all-axes skip).
+_FFT_SLOW_SIZES = frozenset({288, 576})
 
 
 def fft_shape_for(lengths) -> tuple:
-    """FFT-friendly sizes for already-padded lengths, with the
-    deterministic-innermost policy applied (see blocklist note)."""
+    """FFT-friendly sizes for already-padded lengths: above the
+    size threshold, skip measured-slow sizes on every axis and
+    nondeterministic innermost sizes (see notes above)."""
     dims = [_fft_size(n) for n in lengths]
     total = int(np.prod(dims))
     if total > _IRFFT_DET_THRESHOLD:
-        while dims[-1] in _IRFFT_BAD_INNERMOST:
-            dims[-1] = _fft_size(dims[-1] + 1)
+        for d in range(len(dims)):
+            bad = (_FFT_SLOW_SIZES | _IRFFT_BAD_INNERMOST
+                   if d == len(dims) - 1 else _FFT_SLOW_SIZES)
+            while dims[d] in bad:
+                dims[d] = _fft_size(dims[d] + 1)
     return tuple(dims)
 
 

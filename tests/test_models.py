@@ -129,3 +129,38 @@ def test_ransac_rejects_pure_noise(rng):
     )
     # acceptance rule should fail: <10% inliers
     assert not bool(res.valid)
+
+
+def test_ransac_adaptive_matches_full_sweep(rng):
+    """Adaptive (chunked while_loop, early stop at the classic
+    confidence criterion) finds the same consensus as the full
+    hypothesis sweep on outlier-contaminated correspondences."""
+    import dataclasses
+
+    import jax
+
+    from spim_registration_tpu.models.ransac import (
+        RansacParameters,
+        filter_ransac,
+    )
+
+    N = 96
+    p = rng.uniform(0, 50, (N, 3)).astype(np.float32)
+    A = np.array([[1, 0, 0, 2.0], [0, 1, 0, -1.0], [0, 0, 1, 0.5]],
+                 np.float32)
+    q = (p @ A[:, :3].T + A[:, 3]).astype(np.float32)
+    q[:30] += rng.uniform(-25, 25, (30, 3)).astype(np.float32)
+    q[30:] += rng.normal(0, 0.02, (N - 30, 3)).astype(np.float32)
+    valid = np.ones(N, bool)
+    key = jax.random.PRNGKey(1)
+    base = RansacParameters()
+    full = filter_ransac(key, jnp.asarray(p), jnp.asarray(q),
+                         jnp.asarray(valid), "affine", base)
+    adpt = filter_ransac(key, jnp.asarray(p), jnp.asarray(q),
+                         jnp.asarray(valid), "affine",
+                         dataclasses.replace(base, adaptive=True))
+    assert bool(full.valid) and bool(adpt.valid)
+    np.testing.assert_array_equal(np.asarray(full.inlier_mask),
+                                  np.asarray(adpt.inlier_mask))
+    np.testing.assert_allclose(np.asarray(full.model),
+                               np.asarray(adpt.model), atol=1e-4)
