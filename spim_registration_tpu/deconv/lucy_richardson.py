@@ -379,17 +379,19 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             from spim_registration_tpu.utils.backend import is_tpu_backend
             interp = not is_tpu_backend()
 
-            def conv_lowrank_folded(x, Mz, My, Mx, rad_z=None):
+            def conv_lowrank_folded(x, Mz, My, Mx, rads=(None,) * 3):
                 return conv_lowrank_folded_fused(x, Mz, My, Mx,
                                                  interpret=interp,
-                                                 rad_z=rad_z)
+                                                 rad_z=rads[0],
+                                                 rad_y=rads[1],
+                                                 rad_x=rads[2])
         else:
-            def conv_lowrank_folded(x, Mz, My, Mx, rad_z=None):
+            def conv_lowrank_folded(x, Mz, My, Mx, rads=(None,) * 3):
                 return _conv_xla(x, Mz, My, Mx)
 
-        def _rad_z(entry):
+        def _rads(entry):
             r = entry.get("rad")
-            return r.value[0] if r is not None else None
+            return r.value if r is not None else (None,) * 3
 
         def sel(triple, step):
             if n_phases == 1:
@@ -402,7 +404,7 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
         def conv_k1(psi, entry, step):
             if "mat" in entry:
                 return conv_lowrank_folded(psi, *sel(entry["mat"], step),
-                                           rad_z=_rad_z(entry))
+                                           rads=_rads(entry))
             return fft_convolve(psi, None, kernel_fft=entry["fft"],
                                 fft_shape=fft_shape, boundary="mirror")
 
@@ -419,7 +421,7 @@ def _rl_iterate(psi0, images, weights, k1_ffts, k2_ffts, osem, lam,
             deviation at 5 RL iterations on the bench fixture kernels."""
             if "mat" in entry:
                 return conv_lowrank_folded(q - 1.0, *sel(entry["mat"], step),
-                                           rad_z=_rad_z(entry))
+                                           rads=_rads(entry))
             return fft_convolve(q, None, kernel_fft=entry["fft"],
                                 fft_shape=fft_shape,
                                 boundary="mirror") - 1.0

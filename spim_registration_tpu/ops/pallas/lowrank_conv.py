@@ -58,9 +58,16 @@ _VMEM_DEFAULT = 15_500_000
 _A_SLAB_BYTES = 1 << 30
 
 
-def _sl_rows_kernel(a_ref, my_ref, mxt_ref, o_ref):
+def _sl_rows_kernel(a_ref, my_ref, mxt_ref, o_ref, *, yplan=None,
+                    xplan=None):
     """One (z-block, rank) grid step: per contiguous z-row slab a[t]
-    (Y, X), o[t] += (My @ a[t]) @ MxT — rank-accumulated in VMEM."""
+    (Y, X), o[t] += (My @ a[t]) @ MxT — rank-accumulated in VMEM.
+
+    With `yplan`/`xplan` (static band blocks from `band_blocks`) the
+    y/x contractions run per band window instead of dense — the folded
+    matrices are band matrices, so at large axes this is a 3-4x flop
+    cut (measured -39% at 512^2 cross-sections; at 256 the sub-dot
+    overhead eats the saving, so the plan gates on axis size)."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -72,10 +79,25 @@ def _sl_rows_kernel(a_ref, my_ref, mxt_ref, o_ref):
     mxt = mxt_ref[0]                 # (X, Xo)
     TZ = a.shape[0]
     for t in range(TZ):
-        bt = jnp.dot(my, a[t], preferred_element_type=jnp.float32)
-        ct = jnp.dot(bt.astype(a.dtype), mxt,
-                     preferred_element_type=jnp.float32)
-        o_ref[t] += ct
+        at = a[t]
+        if yplan is None:
+            bt = jnp.dot(my, at, preferred_element_type=jnp.float32)
+        else:
+            blocks, W = yplan
+            bt = jnp.concatenate([
+                jnp.dot(my[s:s + ln, ws:ws + W], at[ws:ws + W],
+                        preferred_element_type=jnp.float32)
+                for (s, ln, ws) in blocks], axis=0)
+        btc = bt.astype(at.dtype)
+        if xplan is None:
+            o_ref[t] += jnp.dot(btc, mxt,
+                                preferred_element_type=jnp.float32)
+        else:
+            blocks, W = xplan
+            for (s, ln, ws) in blocks:
+                o_ref[t, :, s:s + ln] += jnp.dot(
+                    btc[:, ws:ws + W], mxt[ws:ws + W, s:s + ln],
+                    preferred_element_type=jnp.float32)
 
 
 def _lane_pad(n: int) -> int:
@@ -103,19 +125,34 @@ def plan_fused_sl(Z: int, Y: int, X: int, itemsize: int = 2):
     return None
 
 
+# in-kernel y/x banding pays only when the flop cut beats the sub-dot
+# overhead: measured LOSS at 256 (3.14 -> 3.44 ms standalone), -39%
+# WIN at 512^2 cross-sections — gate on axis size
+_BAND_YX_MIN = 384
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("tz", "vmem_limit", "interpret"))
+                   static_argnames=("tz", "vmem_limit", "interpret",
+                                    "rad_y", "rad_x"))
 def fused_sl_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
                    tz: int = 16, vmem_limit: int | None = None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   rad_y: int | None = None,
+                   rad_x: int | None = None) -> jnp.ndarray:
     """Apply the fused y then x folded matmuls + rank sum to a z-pass
     output in its NATURAL layout a[r, z, y, x]. Returns (Z, Y_out, X_out)
     f32. Requires Z % tz == 0. Shared by the single-device fused conv
     and the z-sharded engine (whose z pass is band matmuls over halos —
-    the y/x passes are shard-local and identical)."""
+    the y/x passes are shard-local and identical). `rad_y`/`rad_x`:
+    band half-supports of the folded My/Mx — enables in-kernel banding
+    on large axes (see `_sl_rows_kernel`)."""
     R, Z, Y, X = a.shape
     Yo = My.shape[1]
     mxt = jnp.swapaxes(Mx, 1, 2)
+    yplan = (band_blocks(Yo, Y, rad_y)
+             if rad_y is not None and Y >= _BAND_YX_MIN else None)
+    xplan = (band_blocks(mxt.shape[2], X, rad_x)
+             if rad_x is not None and X >= _BAND_YX_MIN else None)
     # under shard_map (sharded engine) the out aval must carry the
     # varying-mesh-axes set; outside one this is the empty frozenset
     vma = getattr(jax.typeof(a), "vma", frozenset())
@@ -124,7 +161,7 @@ def fused_sl_apply(a: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit))
     return pl.pallas_call(
-        _sl_rows_kernel,
+        functools.partial(_sl_rows_kernel, yplan=yplan, xplan=xplan),
         grid=(Z // tz, R),
         in_specs=[
             pl.BlockSpec((1, tz, Y, X), lambda zb, r: (r, zb, 0, 0),
@@ -317,11 +354,14 @@ def fused_sl_reference(a: jnp.ndarray, My: jnp.ndarray,
     return jnp.sum(c, axis=0)            # (Z, Y_out, X_out) f32
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "rad_z"))
+@functools.partial(jax.jit, static_argnames=("interpret", "rad_z",
+                                             "rad_y", "rad_x"))
 def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
                               My: jnp.ndarray, Mx: jnp.ndarray,
                               interpret: bool = False,
-                              rad_z: int | None = None) -> jnp.ndarray:
+                              rad_z: int | None = None,
+                              rad_y: int | None = None,
+                              rad_x: int | None = None) -> jnp.ndarray:
     """Drop-in twin of `ops.separable.conv_lowrank_folded` with the y/x
     passes fused in Pallas, all in z-major layout (no transposes; see
     module docstring). Raises when `plan_fused_sl` has no configuration
@@ -361,7 +401,8 @@ def conv_lowrank_folded_fused(vol: jnp.ndarray, Mz: jnp.ndarray,
             a = jnp.einsum("rnp,pyx->rnyx", mz, vm,
                            preferred_element_type=mid)
         return fused_sl_apply(a, my, mx, tz=tz, vmem_limit=vlim,
-                              interpret=interpret)
+                              interpret=interpret, rad_y=rad_y,
+                              rad_x=rad_x)
 
     asize = R * Z * Y * X * mid.itemsize
     if asize > _A_SLAB_BYTES:

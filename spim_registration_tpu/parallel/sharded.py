@@ -329,7 +329,10 @@ def _sharded_lowrank_entries(kernels, img_shape, zl, params, factors=None,
             stack = (_bf16_dither_stack(M, phases) if phases > 1
                      else np.asarray(M, np.float32)[None])
             triple.append(jnp.asarray(stack).astype(dt))
-        entries.append({"mat": tuple(triple)})
+        from spim_registration_tpu.utils.staticleaf import Static
+
+        rads = tuple((f.shape[1] - 1) // 2 for f in (az, ay, ax))
+        entries.append({"mat": tuple(triple), "rad": Static(rads)})
     return entries, errs
 
 
@@ -640,7 +643,7 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
         from spim_registration_tpu.utils.backend import is_tpu_backend
         _interp = not is_tpu_backend()
 
-        def conv_mat(x, triple):
+        def conv_mat(x, triple, rads=(None,) * 3):
             Tz, My, Mx = triple
             mid_t = Tz.dtype
             hz = (Tz.shape[-1] - Tz.shape[-2]) // 2
@@ -675,7 +678,8 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                     return fused_sl_reference(a, My, Mx).astype(x.dtype)
                 tz_, vlim_ = plan
                 return fused_sl_apply(a, My, Mx, tz=tz_,
-                                      vmem_limit=vlim_).astype(x.dtype)
+                                      vmem_limit=vlim_, rad_y=rads[1],
+                                      rad_x=rads[2]).astype(x.dtype)
             a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                            preferred_element_type=mid_t)
             b = jnp.einsum("rzpx,rnp->rznx", a, My,
@@ -684,15 +688,20 @@ def sharded_deconvolution_runner(prep, params, mesh: Mesh,
                            preferred_element_type=jnp.float32)
             return jnp.sum(c, axis=0).astype(x.dtype)
 
+        def _rads(entry):
+            r = entry.get("rad")
+            return r.value if r is not None else (None,) * 3
+
         def conv_k1(x, entry, step):
             if "mat" in entry:
-                return conv_mat(x, sel(entry["mat"], step))
+                return conv_mat(x, sel(entry["mat"], step), _rads(entry))
             return local_conv(x, entry["fft"])
 
         def conv2_minus_1(q, entry, step):
             q = restore(q)  # quotient pad rows -> live mirror (exact edge)
             if "mat" in entry:
-                return conv_mat(q - 1.0, sel(entry["mat"], step))
+                return conv_mat(q - 1.0, sel(entry["mat"], step),
+                                _rads(entry))
             return local_conv(q, entry["fft"]) - 1.0
 
         def regularize(p):
