@@ -274,44 +274,83 @@ def find_peaks(dog: jnp.ndarray, threshold: float, max_peaks: int = 4096,
     return coords, resp, valid
 
 
-def _refine_from(dog, c0, valid, first, max_iterations, max_offset):
+def _refine_from(dog, c0, valid, first, max_iterations, max_offset,
+                 compact_budget=None):
     """The re-centering loop of `subpixel_localize`, seeded with a
     PRECOMPUTED first fit (off, val) at c0 — the fused detection path
     reuses the strictness 27-gather as the first fit's neighborhood, so
-    the common converge-immediately case costs ONE gather total."""
+    the common converge-immediately case costs ONE gather total.
+
+    `compact_budget` (r5): rows are INDEPENDENT and a non-moving row's
+    refit at an unchanged center is idempotent, so only rows whose
+    first fit steps need the walk at all. When at most `compact_budget`
+    rows move, the walk runs on that compacted subset (27-gathers
+    shrink from P rows to B) and scatters back — EXACT either way (the
+    over-budget case falls back to the full walk). On the bench scene
+    only tens of ridge rows re-center out of 2048."""
     z, y, x = dog.shape
     flat = dog.reshape(-1)
     YX = y * x
     hi = jnp.asarray([z - 2, y - 2, x - 2], jnp.int32)
 
-    def step_of(off):
+    def step_mask(off, v):
         s = jnp.where(jnp.abs(off) > max_offset,
                       jnp.sign(off).astype(jnp.int32), 0)
-        return s * valid[:, None].astype(jnp.int32)
+        return s * v[:, None].astype(jnp.int32)
 
-    def fit_at(c):
-        base = c[:, 0] * YX + c[:, 1] * x + c[:, 2]
-        nb = _gather27(flat, base, YX, x)
-        off, val = _quadratic_step_batched(nb)
-        return off, val, step_of(off)
+    def walk(c1, off0, val0, v):
+        """The re-centering while_loop on one row set (full or compact)."""
+        def fit_at(c):
+            base = c[:, 0] * YX + c[:, 1] * x + c[:, 2]
+            nb = _gather27(flat, base, YX, x)
+            off, val = _quadratic_step_batched(nb)
+            return off, val, step_mask(off, v)
+
+        def cond(state):
+            i, _c, _o, _v, moved = state
+            return (i < max_iterations) & moved
+
+        def body(state):
+            i, c, _o, _v, _m = state
+            off, val, step = fit_at(c)
+            c2 = jnp.clip(c + step, 1, hi)
+            return i + 1, c2, off, val, jnp.any(c2 != c)
+
+        init = (jnp.int32(1), c1, off0, val0, jnp.any(step_mask(off0, v)
+                                                      != 0))
+        _, c, off, val, _ = jax.lax.while_loop(cond, body, init)
+        return c, off, val
 
     off0, val0 = first
     c0 = jnp.clip(c0, 1, hi)
-    c1 = jnp.clip(c0 + step_of(off0), 1, hi)
-    moved0 = jnp.any(c1 != c0)
+    step0 = step_mask(off0, valid)
+    c1 = jnp.clip(c0 + step0, 1, hi)
 
-    def cond(state):
-        i, _c, _o, _v, moved = state
-        return (i < max_iterations) & moved
+    P = c0.shape[0]
+    B = compact_budget
+    if B is not None and B < P:
+        need = jnp.any(c1 != c0, axis=1)
+        count = jnp.sum(need.astype(jnp.int32))
+        order = jnp.argsort(jnp.where(need, 0, 1), stable=True)
+        ridx = order[:B]
+        sel = (jnp.arange(B) < count)
 
-    def body(state):
-        i, c, _o, _v, _m = state
-        off, val, step = fit_at(c)
-        c2 = jnp.clip(c + step, 1, hi)
-        return i + 1, c2, off, val, jnp.any(c2 != c)
+        def compact():
+            cB, offB, valB = walk(c1[ridx], off0[ridx], val0[ridx],
+                                  valid[ridx] & sel)
+            m = sel[:, None]
+            c_ = c1.at[ridx].set(jnp.where(m, cB, c1[ridx]))
+            o_ = off0.at[ridx].set(jnp.where(m, offB, off0[ridx]))
+            v_ = val0.at[ridx].set(jnp.where(sel, valB, val0[ridx]))
+            return c_, o_, v_
 
-    init = (jnp.int32(1), c1, off0, val0, moved0)
-    _, c, off, val, _ = jax.lax.while_loop(cond, body, init)
+        def full():
+            return walk(c1, off0, val0, valid)
+
+        c, off, val = jax.lax.cond(count <= B, compact, full)
+    else:
+        c, off, val = walk(c1, off0, val0, valid)
+
     pos = c.astype(dog.dtype) + off
     shape = jnp.asarray(dog.shape, dog.dtype)
     ok = valid & jnp.all(jnp.abs(off) < 1.0, axis=-1) & jnp.all(
@@ -360,7 +399,8 @@ def find_peaks_localized(dog: jnp.ndarray, threshold: float,
         c0 = jnp.stack([zz, yy, xx], axis=-1).astype(jnp.int32)
         off0, val0 = _quadratic_step_batched(nb)
         return _refine_from(dog, c0, valid_s, (off0, val0),
-                            max_iterations, max_offset)
+                            max_iterations, max_offset,
+                            compact_budget=256)
 
     P = max_peaks
     kh = min(hot_k, P)
