@@ -113,6 +113,31 @@ def fit_similarity(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([s * R, t[:, None]], axis=1)
 
 
+def _solve3x3(A, B):
+    """Closed-form 3x3 solve X = A^-1 B via the adjugate (Cramer).
+
+    `jnp.linalg.solve` lowers to a batched LU custom call that measured
+    26 ms for the 32x1024 hypothesis fits of one matching batch (r5
+    xprof — the single largest op); the adjugate is ~40 fused VPU
+    multiplies. Degenerate A (det ~ 0, a collinear minimal set) yields
+    a huge X exactly like LU's garbage solution — the hypothesis loses
+    the RANSAC vote either way, and real fits carry a ridge."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    C00 = e * i - f * h
+    C01 = f * g - d * i
+    C02 = d * h - e * g
+    det = a * C00 + b * C01 + c * C02
+    adj = jnp.stack([
+        jnp.stack([C00, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([C01, a * i - c * g, c * d - a * f], axis=-1),
+        jnp.stack([C02, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, _EPS)
+    return (adj @ B) * inv_det[..., None, None]
+
+
 def fit_affine(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted full-affine least-squares fit via normal equations.
 
@@ -126,7 +151,7 @@ def fit_affine(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     PtWP = (pc * w[:, None]).T @ pc / wsum
     QtWP = (qc * w[:, None]).T @ pc / wsum
     PtWP = PtWP + 1e-8 * jnp.eye(3, dtype=p.dtype)
-    M = jnp.linalg.solve(PtWP.T, QtWP.T).T
+    M = _solve3x3(PtWP.T, QtWP.T).T
     t = cq - M @ cp
     return jnp.concatenate([M, t[:, None]], axis=1)
 
