@@ -110,7 +110,12 @@ def _constellation_residual(pa, na, pb, nb):
     B = jnp.concatenate([pb[None], nb], axis=0)
     pc = A - jnp.mean(A, axis=0)
     qc = B - jnp.mean(B, axis=0)
-    H = pc.T @ qc
+    # broadcast-reduce instead of `pc.T @ qc`: the (3,m)@(m,3) dot on
+    # m=4-row constellations sent millions of tiny matmuls to the MXU
+    # via bf16 casts + layout copies (~21 ms of copies per matching
+    # batch, xprof r5); the VPU outer-product sum is copy-free and full
+    # f32
+    H = jnp.sum(pc[:, :, None] * qc[:, None, :], axis=0)
     s2 = jnp.maximum(_sym3_eigvalsh(H.T @ H), 0.0)
     s = jnp.sqrt(s2)
     d = jnp.sign(jnp.linalg.det(H))
