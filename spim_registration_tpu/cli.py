@@ -384,6 +384,12 @@ def cmd_deconvolve(args):
             psf, _n = extract_psf(vol, v.model(), np.asarray(ips.points))
             psfs.append(psf)
         bbox = _resolve_bbox(ds, args, vols, models)
+        if getattr(args, "out_of_core", False):
+            out = _deconvolve_out_of_core(args, cfg, ds, tp, views, vols,
+                                          models, psfs, bbox, mesh)
+            if _is_primary() and out is not None:
+                _export_volume(args, ds, out, tp, bbox, "deconvolved")
+            continue
         prep = prepare_views_for_deconvolution(vols, models, psfs, bbox)
         if mesh is not None:
             from spim_registration_tpu.parallel import sharded_deconvolve
@@ -399,6 +405,40 @@ def cmd_deconvolve(args):
             out = deconvolve(prep, cfg.deconvolution)
         if _is_primary():
             _export_volume(args, ds, out, tp, bbox, "deconvolved")
+
+
+def _deconvolve_out_of_core(args, cfg, ds, tp, views, vols, models,
+                            psfs, bbox, mesh):
+    """CLI out-of-core deconvolution: streamed prep (one source view
+    resident at a time) -> disk-resident BlockedDeconvolutionRunner
+    (mesh-composable). Returns the psi array for export, or None when
+    `--out` ends in .raw (the psi store IS the output — volumes beyond
+    RAM are never materialized)."""
+    from spim_registration_tpu.deconv.blocked import (
+        BlockedDeconvolutionRunner,
+    )
+    from spim_registration_tpu.deconv.prep_streamed import (
+        prepare_views_streamed,
+    )
+    from spim_registration_tpu.native_blocks import RawVolumeStore
+
+    workdir = args.ooc_workdir or (str(args.out) + f".ooc_tp{tp}")
+    inputs = prepare_views_streamed(
+        lambda v: np.asarray(vols[v]), models, psfs, bbox, workdir)
+    Z, Y, X = bbox.shape
+    psi_path = (str(args.out) if str(args.out).endswith(".raw")
+                else os.path.join(workdir, "psi.raw"))
+    psi = RawVolumeStore(psi_path, (Z, Y, X), create=True)
+    runner = BlockedDeconvolutionRunner(
+        inputs, psi, cfg.deconvolution, block_z=args.block_z,
+        mesh=mesh, axis_name=(mesh.axis_names[-1] if mesh is not None
+                              else "z"))
+    runner.run()
+    print(f"tp {tp}: out-of-core deconvolution done (psi at {psi_path})",
+          file=sys.stderr)
+    if str(args.out).endswith(".raw"):
+        return None
+    return psi.read_block((0, 0, 0), (Z, Y, X))
 
 
 def cmd_define_bbox(args):
@@ -704,6 +744,15 @@ def main(argv=None):
     sp.add_argument("--append-hdf5", metavar="H5",
                     help="append output as a new view setup into this "
                          "existing BDV-HDF5 (+XML update)")
+    sp.add_argument("--out-of-core", action="store_true",
+                    help="stream the deconvolution through disk-resident "
+                         "blocks (volumes beyond RAM/HBM; composes with "
+                         "--mesh: z-blocks round-robin across devices)")
+    sp.add_argument("--ooc-workdir", metavar="DIR",
+                    help="work directory for the out-of-core stores "
+                         "(default: <out>.ooc)")
+    sp.add_argument("--block-z", type=int,
+                    help="out-of-core z-block height (default: auto)")
     common(sp)
     sp.set_defaults(fn=cmd_deconvolve)
 

@@ -217,3 +217,60 @@ def test_blocked_meshed_matches_single_device(problem):
             nrmse = np.sqrt(np.mean(
                 (s_got.array - s_ref.array) ** 2)) / scale
             assert nrmse < tol, (params.conv_backend, bz, nrmse)
+
+
+def test_streamed_prep_matches_in_memory(problem, tmp_path):
+    """`prepare_views_streamed` (disk-resident, one source view at a
+    time) == `prepare_views_for_deconvolution` voxel-for-voxel,
+    including weight normalization and the OSEM factor."""
+    from spim_registration_tpu.core.dataset import BoundingBox
+    from spim_registration_tpu.deconv.prep import (
+        prepare_views_for_deconvolution,
+    )
+    from spim_registration_tpu.deconv.prep_streamed import (
+        prepare_views_streamed,
+    )
+
+    images, weights, psfs = problem
+    rng = np.random.default_rng(9)
+    vols = [rng.random((40, 36, 30)).astype(np.float32) + 0.01
+            for _ in range(2)]
+    models = [np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1),
+              np.array([[1, 0, 0, 2.0], [0, 1, 0, -1.5], [0, 0, 1, 0.5]],
+                       np.float32)]
+    bbox = BoundingBox("b", (0, 0, 0), (38, 36, 30))
+    ref = prepare_views_for_deconvolution(vols, models, psfs, bbox)
+    got = prepare_views_streamed(lambda v: vols[v], models, psfs, bbox,
+                                 str(tmp_path / "ooc"), slab_z=16)
+    for v in range(2):
+        gi = got.image_stores[v].read_block((0, 0, 0), bbox.shape)
+        gw = got.weight_stores[v].read_block((0, 0, 0), bbox.shape)
+        np.testing.assert_allclose(gi, ref.images[v], atol=1e-6)
+        np.testing.assert_allclose(gw, ref.weights[v], atol=1e-6)
+    assert abs(got.osem_factor - ref.osem_factor) < 1e-6
+
+
+def test_cli_deconvolve_out_of_core_matches_in_memory(tmp_path):
+    """`deconvolve --out-of-core` (streamed prep + blocked runner from
+    the CLI) ~= the in-memory CLI deconvolution."""
+    from spim_registration_tpu.cli import main
+
+    out = str(tmp_path / "ds")
+    assert main(["simulate", "--out", out, "--views", "2", "--shape",
+                 "40", "36", "36", "--beads", "40"]) == 0
+    xml = out + "/dataset.xml"
+    assert main(["detect", xml]) == 0
+    assert main(["register", xml]) == 0
+    mem = tmp_path / "psi_mem.npy"
+    ooc = tmp_path / "psi_ooc.npy"
+    it = "--set=deconvolution.num_iterations=2"
+    assert main(["deconvolve", xml, "--out", str(mem), it]) == 0
+    assert main(["deconvolve", xml, "--out", str(ooc), it,
+                 "--out-of-core"]) == 0
+    a, b = np.load(mem), np.load(ooc)
+    assert a.shape == b.shape
+    scale = a.max() - a.min()
+    nrmse = np.sqrt(np.mean((a - b) ** 2)) / scale
+    # blocked engine uses different FFT sizes than the in-memory one;
+    # same tolerance class as test_blocked_matches_in_memory
+    assert nrmse < 2e-3, nrmse
