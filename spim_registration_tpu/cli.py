@@ -316,6 +316,16 @@ def cmd_fuse(args):
         vols = [ds.get_image(v.view_id) for v in views]
         models = [v.model() for v in views]
         bbox = _resolve_bbox(ds, args, vols, models)
+        if getattr(args, "out_of_core", False):
+            if mesh is not None:
+                print("note: streaming fusion is disk-IO-bound and runs "
+                      "single-device by design (fuse/streaming.py); "
+                      "--mesh applies to the in-memory path only",
+                      file=sys.stderr)
+            out = _fuse_out_of_core(args, cfg, tp, vols, models, bbox)
+            if _is_primary() and out is not None:
+                _export_volume(args, ds, out, tp, bbox, "fused")
+            continue
         if mesh is not None:
             from spim_registration_tpu.parallel import sharded_fuse_views
 
@@ -326,6 +336,35 @@ def cmd_fuse(args):
             out = fuse_views(vols, models, bbox, cfg.fusion)
         if _is_primary():
             _export_volume(args, ds, out, tp, bbox, "fused")
+
+
+def _fuse_out_of_core(args, cfg, tp, vols, models, bbox):
+    """CLI streaming fusion: views staged into disk stores, fused
+    block-wise into a disk-resident output (`fuse/streaming.py`).
+    Returns the fused array for export, or None when `--out` ends in
+    .raw (the store IS the output)."""
+    from spim_registration_tpu.fuse.streaming import fuse_views_streaming
+    from spim_registration_tpu.native_blocks import RawVolumeStore
+
+    workdir = args.ooc_workdir or (str(args.out) + f".ooc_tp{tp}")
+    os.makedirs(workdir, exist_ok=True)
+    stores = []
+    for i, v in enumerate(vols):
+        arr = np.asarray(v, np.float32)
+        st = RawVolumeStore(os.path.join(workdir, f"view{i}.raw"),
+                            tuple(arr.shape), create=True)
+        st.write_block((0, 0, 0), arr)
+        stores.append(st)
+        del arr
+    out_path = (str(args.out) if str(args.out).endswith(".raw")
+                else os.path.join(workdir, "fused.raw"))
+    out_store = RawVolumeStore(out_path, bbox.shape, create=True)
+    fuse_views_streaming(stores, models, bbox, out_store, cfg.fusion)
+    print(f"tp {tp}: streaming fusion done (output at {out_path})",
+          file=sys.stderr)
+    if str(args.out).endswith(".raw"):
+        return None
+    return out_store.read_block((0, 0, 0), bbox.shape)
 
 
 def _export_volume(args, ds, out, tp, bbox, what):
@@ -732,6 +771,12 @@ def main(argv=None):
                     help="append output as a new view setup into this "
                          "existing BDV-HDF5 (+XML update) instead of "
                          "writing TIFF/npy")
+    sp.add_argument("--out-of-core", action="store_true",
+                    help="stream the fusion through disk-resident blocks "
+                         "(fuse/streaming.py; larger-than-memory outputs)")
+    sp.add_argument("--ooc-workdir", metavar="DIR",
+                    help="work directory for the streaming stores "
+                         "(default: <out>.ooc)")
     common(sp)
     sp.set_defaults(fn=cmd_fuse)
 

@@ -103,3 +103,26 @@ def test_streaming_fusion_partial_coverage(rng, tmp_path):
     out = out_store.read_block((0, 0, 0), bbox.shape)
     np.testing.assert_allclose(out[16:48], vol, atol=1e-5)
     assert np.all(out[:15] == 0)
+
+
+def test_cli_fuse_out_of_core_matches_in_memory(tmp_path):
+    """`fuse --out-of-core` (streaming fusion from the CLI) == the
+    in-memory CLI fusion."""
+    import numpy as np
+
+    from spim_registration_tpu.cli import main
+
+    out = str(tmp_path / "ds")
+    assert main(["simulate", "--out", out, "--views", "2", "--shape",
+                 "40", "36", "36", "--beads", "40"]) == 0
+    xml = out + "/dataset.xml"
+    assert main(["detect", xml]) == 0
+    assert main(["register", xml]) == 0
+    mem = tmp_path / "fused_mem.npy"
+    ooc = tmp_path / "fused_ooc.npy"
+    assert main(["fuse", xml, "--out", str(mem)]) == 0
+    assert main(["fuse", xml, "--out", str(ooc), "--out-of-core"]) == 0
+    a, b = np.load(mem), np.load(ooc)
+    assert a.shape == b.shape
+    nrmse = np.sqrt(np.mean((a - b) ** 2)) / (a.max() - a.min())
+    assert nrmse < 1e-5, nrmse
