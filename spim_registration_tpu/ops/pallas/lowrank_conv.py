@@ -52,7 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 # raised scoped-VMEM ceiling used when a plan exceeds the 16 MB default;
 # 512^2 cross-sections measured working on v5e at this limit
 _VMEM_RAISED = 64 * 1024 * 1024
-_VMEM_DEFAULT = 15_500_000
+# conservative margin under the 16 MB default scoped limit: the model
+# underestimates Mosaic's chain buffers by up to ~2 MB (an all-f32
+# 256^3 plan measured 16.5 M against a 14.4 M model) — marginal plans
+# take the raised limit instead
+_VMEM_DEFAULT = 13_500_000
 # cap on the z-pass intermediate `a` (R, Z, Y, X); above it the conv
 # runs in z-slabs (see conv_lowrank_folded_fused)
 _A_SLAB_BYTES = 1 << 30
