@@ -15,6 +15,9 @@ from spim_registration_tpu.deconv.psf import (  # noqa: F401
     extract_psf,
     gaussian_psf,
 )
+from spim_registration_tpu.deconv.prep_streamed import (  # noqa: F401
+    prepare_views_streamed,
+)
 from spim_registration_tpu.deconv.blocked import (  # noqa: F401
     ArrayStore,
     BlockedDeconvolutionInputs,

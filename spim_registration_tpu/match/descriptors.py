@@ -116,9 +116,15 @@ def _constellation_residual(pa, na, pb, nb):
     # batch, xprof r5); the VPU outer-product sum is copy-free and full
     # f32
     H = jnp.sum(pc[:, :, None] * qc[:, None, :], axis=0)
-    s2 = jnp.maximum(_sym3_eigvalsh(H.T @ H), 0.0)
+    G = jnp.sum(H[:, :, None] * H[:, None, :], axis=0)  # H^T H, VPU form
+    s2 = jnp.maximum(_sym3_eigvalsh(G), 0.0)
     s = jnp.sqrt(s2)
-    d = jnp.sign(jnp.linalg.det(H))
+    # explicit 3x3 determinant (jnp.linalg.det's lowering routes tiny
+    # batched dets through the same bf16 matmul machinery)
+    det = (H[0, 0] * (H[1, 1] * H[2, 2] - H[1, 2] * H[2, 1])
+           - H[0, 1] * (H[1, 0] * H[2, 2] - H[1, 2] * H[2, 0])
+           + H[0, 2] * (H[1, 0] * H[2, 1] - H[1, 1] * H[2, 0]))
+    d = jnp.sign(det)
     tr = s[0] + s[1] + d * s[2]
     ss = jnp.sum(pc * pc) + jnp.sum(qc * qc) - 2.0 * tr
     return jnp.sqrt(jnp.maximum(ss, 0.0) / A.shape[0])
