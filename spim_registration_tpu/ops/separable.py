@@ -16,6 +16,9 @@ PSF admits a low-rank form (`DeconvolutionParameters.conv_backend`).
 
 from __future__ import annotations
 
+import hashlib
+import os
+from pathlib import Path
 from typing import Tuple
 
 import jax
@@ -304,6 +307,37 @@ def decompose_for_rl(kernel: np.ndarray, rank: int,
     limit = int(rank_hard) if rank_hard is not None else 2 * int(rank)
     limit = max(limit, int(rank))
 
+    # Disk cache of the expensive grow/refine/trim pipeline (the RL
+    # engines re-decompose identical kernels every process start —
+    # ~20 s of staging per production run at bench ranks). Key = exact
+    # kernel bytes + every parameter; values are the exact factors, so
+    # a hit is bit-identical to a recompute. Disable with
+    # SPIM_FACTOR_CACHE=0.
+    cache_path = None
+    if os.environ.get("SPIM_FACTOR_CACHE", "1") != "0":
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(K).tobytes())
+        h.update(f"{K.shape}|{rank}|{adapt_tol}|{limit}".encode())
+        cdir = Path(os.environ.get(
+            "SPIM_FACTOR_CACHE_DIR",
+            Path.home() / ".cache" / "spim_tpu_factors"))
+        cache_path = cdir / (h.hexdigest() + ".npz")
+        if cache_path.exists():
+            try:
+                d = np.load(cache_path)
+                hit = (d["az"], d["ay"], d["ax"], float(d["err"]))
+            except Exception:
+                hit = None  # unreadable entry: recompute and overwrite
+            if hit is not None:
+                # max_error is NOT part of the key: re-apply the
+                # caller's acceptance check on the cached error
+                if hit[3] > max_error:
+                    raise ValueError(
+                        f"PSF rank-{rank} separable approximation too "
+                        f"lossy (rel err {hit[3]:.3f} > {max_error}); "
+                        "use conv_backend='fft' or raise psf_rank")
+                return hit
+
     # 1) GROW: greedy rank-1 deflation until the residual meets the
     # tolerance (with headroom — the joint refine below improves it) or
     # the hard limit. (Greedy CP terms of rotated kernels come in +-
@@ -353,7 +387,18 @@ def decompose_for_rl(kernel: np.ndarray, rank: int,
             f"PSF rank-{rank} separable approximation too lossy "
             f"(rel err {err:.3f} > {max_error}); use conv_backend='fft' "
             f"or raise psf_rank")
-    return _renorm_mass(kernel, az, ay, ax, err)
+    out = _renorm_mass(kernel, az, ay, ax, err)
+    if cache_path is not None:
+        try:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache_path.with_suffix(".tmp%d" % os.getpid())
+            np.savez(tmp, az=out[0], ay=out[1], ax=out[2],
+                     err=np.float64(out[3]))
+            os.replace(str(tmp) + ".npz" if not str(tmp).endswith(".npz")
+                       else str(tmp), cache_path)
+        except Exception:
+            pass  # cache is best-effort
+    return out
 
 
 def _renorm_mass(kernel, az, ay, ax, err):

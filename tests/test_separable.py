@@ -390,3 +390,40 @@ def test_zslab_fused_conv_matches_single_shot(rng, monkeypatch):
         vol, *Ms, interpret=True, rad_z=(az.shape[1] - 1) // 2))
     nr = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
     assert nr < 1e-6, nr
+
+
+def test_decompose_factor_cache_roundtrip(rng, tmp_path, monkeypatch):
+    """The on-disk CP-factor cache returns bit-identical factors on a
+    hit and distinguishes kernels/parameters."""
+    monkeypatch.setenv("SPIM_FACTOR_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPIM_FACTOR_CACHE", "1")
+    k = rng.random((7, 7, 7))
+    k /= k.sum()
+    kw = dict(rank=4, adapt_tol=1e-6, max_error=float("inf"))
+    a1 = decompose_for_rl(k, **kw)
+    files = list(tmp_path.glob("*.npz"))
+    assert len(files) == 1
+    a2 = decompose_for_rl(k, **kw)   # cache hit
+    for x, y in zip(a1[:3], a2[:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a1[3] == a2[3]
+    # different parameters -> different entry
+    decompose_for_rl(k, rank=5, adapt_tol=1e-6, max_error=float("inf"))
+    assert len(list(tmp_path.glob("*.npz"))) == 2
+    # cache disabled -> no new entries
+    monkeypatch.setenv("SPIM_FACTOR_CACHE", "0")
+    k2 = rng.random((5, 5, 5)); k2 /= k2.sum()
+    decompose_for_rl(k2, rank=3, adapt_tol=1e-6, max_error=float("inf"))
+    assert len(list(tmp_path.glob("*.npz"))) == 2
+
+
+def test_decompose_factor_cache_respects_max_error(rng, tmp_path,
+                                                   monkeypatch):
+    """A cache hit must still apply the caller's max_error acceptance
+    check (max_error is not part of the cache key)."""
+    monkeypatch.setenv("SPIM_FACTOR_CACHE_DIR", str(tmp_path))
+    k = rng.random((9, 9, 9))
+    k /= k.sum()
+    decompose_for_rl(k, rank=1, adapt_tol=1e-9, max_error=float("inf"))
+    with pytest.raises(ValueError, match="too lossy"):
+        decompose_for_rl(k, rank=1, adapt_tol=1e-9, max_error=0.01)
