@@ -30,10 +30,11 @@ import numpy as np
 
 from spim_registration_tpu.models.affine import apply_affine
 
-# volumes up to this many elements use the paired-corner (N, 4) gather
-# view in `trilinear_sample` (4N transient floats: 1 GB at the cap) —
+# volumes up to this many elements use the paired-corner (N, 8) gather
+# view in `trilinear_sample` (~12N transient floats incl. the quad
+# intermediate: ~3.2 GB at the cap, covering up to ~405^3 volumes) —
 # larger volumes keep the copy-free 8-gather form
-_QUAD_GATHER_MAX_ELEMS = 256 * 1024 * 1024
+_QUAD_GATHER_MAX_ELEMS = 64 * 1024 * 1024
 
 
 def output_grid_coords(shape, offset=(0.0, 0.0, 0.0), dtype=jnp.float32):
@@ -70,29 +71,31 @@ def trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray):
 
     fz, fy, fx = frac[..., 0], frac[..., 1], frac[..., 2]
     if flat.shape[0] <= _QUAD_GATHER_MAX_ELEMS:
-        # PAIRED-CORNER gather (r5, the fusion hot path): a (N, 4) view
-        # whose row i holds the (y, x) quad [v[i], v[i+1], v[i+X],
-        # v[i+X+1]] turns the 8 scalar gathers into 2 contiguous
-        # 16-byte ROW gathers — measured ~2.4x on the fusion stage
-        # (gathers are latency-bound on TPU). The rolled rows wrap at
-        # the top y/x edges, but a wrapped corner is only addressed
-        # when its coordinate sits EXACTLY on the clamped edge, where
-        # its lerp weight is exactly 0 (frac = 0) — finite garbage
-        # times zero: exact. The z step keeps the explicit clamped
-        # offset. Costs a transient 4N-element copy, so it is gated on
-        # volume size (`_QUAD_GATHER_MAX_ELEMS`).
+        # PAIRED-CORNER gather (r5, the fusion hot path): an (N, 8)
+        # view whose row i holds ALL EIGHT cell corners
+        # [v[i], v[i+1], v[i+X], v[i+X+1], same at i+YX] turns the 8
+        # scalar gathers into ONE contiguous 32-byte ROW gather —
+        # measured 2.65x (quad form) then a further step (octo form)
+        # on the fusion stage (gathers are latency-bound on TPU). The
+        # rolled rows wrap at the top z/y/x edges, but a wrapped corner
+        # is only addressed when its coordinate sits EXACTLY on the
+        # clamped edge, where its lerp weight is exactly 0 (frac = 0)
+        # — finite garbage times zero: exact. Costs a transient
+        # 12N-element copy, gated on volume size
+        # (`_QUAD_GATHER_MAX_ELEMS`).
         quad = jnp.stack([flat, jnp.roll(flat, -1), jnp.roll(flat, -X),
                           jnp.roll(flat, -X - 1)], axis=-1)
-        g0 = jnp.take(quad, base, axis=0)
-        g1 = jnp.take(quad, base + sz, axis=0)
+        octo = jnp.concatenate([quad, jnp.roll(quad, -YX, axis=0)],
+                               axis=-1)                      # (N, 8)
+        g = jnp.take(octo, base, axis=0)
         wx0, wx1 = (1 - fx), fx
         wy0, wy1 = (1 - fy), fy
 
-        def face(g):
-            return (wy0 * (wx0 * g[..., 0] + wx1 * g[..., 1])
-                    + wy1 * (wx0 * g[..., 2] + wx1 * g[..., 3]))
+        def face(q):
+            return (wy0 * (wx0 * q[..., 0] + wx1 * q[..., 1])
+                    + wy1 * (wx0 * q[..., 2] + wx1 * q[..., 3]))
 
-        v = (1 - fz) * face(g0) + fz * face(g1)
+        v = (1 - fz) * face(g[..., :4]) + fz * face(g[..., 4:])
         return jnp.where(inside, v, 0.0), inside
 
     v = 0.0
