@@ -170,7 +170,10 @@ def _lowrank_stage_entries(kernels, n_out, yx, params, factors=None):
             stack = (_bf16_dither_stack(M, phases) if phases > 1
                      else np.asarray(M, np.float32)[None])
             triple.append(jnp.asarray(stack).astype(dt))
-        entries.append({"mat": tuple(triple)})
+        from spim_registration_tpu.utils.staticleaf import Static
+
+        rads = tuple((f.shape[1] - 1) // 2 for f in (az, ay, ax))
+        entries.append({"mat": tuple(triple), "rad": Static(rads)})
         radii.append((az.shape[1] - 1) // 2)
     return entries, errs, radii
 
@@ -200,10 +203,47 @@ def _block_view_update_lr(psi_ext, img_ext, w, e1, e2, step, osem, lam,
         return tuple(jax.lax.dynamic_index_in_dim(M, p, 0, keepdims=False)
                      for M in triple)
 
-    def conv_mat(x, triple, trim):
+    def conv_mat(x, triple, trim, rads):
+        """Per-block lowrank conv. On real TPUs this routes through the
+        same z-major Pallas kernels as the in-memory/sharded engines
+        (copy-free banded z pass + rows y/x kernel, r5); off-TPU it
+        keeps the numerics-equivalent XLA chain the parity tests
+        exercise."""
         Tz, My, Mx = triple
         mid_t = Tz.dtype
         xp = x[trim: x.shape[0] - trim] if trim else x
+        from spim_registration_tpu.ops.pallas.lowrank_conv import (
+            fused_sl_apply,
+            plan_fused_sl,
+            plan_zpass_banded,
+            zpass_apply_planned,
+        )
+        from spim_registration_tpu.utils.backend import is_tpu_backend
+
+        n_out = Tz.shape[1]
+        # pad the output-row axis to a multiple of 8 so arbitrary block
+        # heights hit the kernel's z-block grid (zero band rows produce
+        # zero rows, sliced off after)
+        n8 = -(-n_out // 8) * 8
+        plan = (plan_fused_sl(n8, xp.shape[1], xp.shape[2],
+                              itemsize=mid_t.itemsize)
+                if is_tpu_backend() else None)
+        if plan is not None:
+            hz = (Tz.shape[2] - n_out) // 2
+            Tzp = (jnp.pad(Tz, ((0, 0), (0, n8 - n_out), (0, 0)))
+                   if n8 > n_out else Tz)
+            zp = plan_zpass_banded(n8, xp.shape[0], xp.shape[1],
+                                   xp.shape[2], rad=hz, off=hz,
+                                   itemsize=mid_t.itemsize)
+            if zp is not None:
+                a = zpass_apply_planned(Tzp, xp.astype(mid_t), zp)
+            else:
+                a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tzp,
+                               preferred_element_type=mid_t)
+            tz_, vlim_ = plan
+            out = fused_sl_apply(a, My, Mx, tz=tz_, vmem_limit=vlim_,
+                                 rad_y=rads[1], rad_x=rads[2])
+            return out[:n_out].astype(x.dtype)
         a = jnp.einsum("pyx,rnp->rnyx", xp.astype(mid_t), Tz,
                        preferred_element_type=mid_t)
         b = jnp.einsum("rzpx,rnp->rznx", a, My,
@@ -221,14 +261,18 @@ def _block_view_update_lr(psi_ext, img_ext, w, e1, e2, step, osem, lam,
         out = jnp.fft.irfftn(jnp.fft.rfftn(xp) * kfft, s=fshape)
         return out[rz:x.shape[0] - rz, ry:ry + Y, rx:rx + X]
 
+    def _rads(entry):
+        r = entry.get("rad")
+        return r.value if r is not None else (None,) * 3
+
     if "mat" in e1:
-        conv1 = conv_mat(psi_ext, sel(e1["mat"]), t1)
+        conv1 = conv_mat(psi_ext, sel(e1["mat"]), t1, _rads(e1))
     else:
         conv1 = conv_os(psi_ext, e1["fft"], h - r2z, ry1, rx1, fs1)
     q = jnp.clip(img_ext / jnp.maximum(conv1, 1e-12), 0.0, 1e4)
     q = _mirror_q_edges(q, z_lo, z_true)
     if "mat" in e2:  # delta form, matching the in-memory lowrank engine
-        conv2m1 = conv_mat(q - 1.0, sel(e2["mat"]), t2)
+        conv2m1 = conv_mat(q - 1.0, sel(e2["mat"]), t2, _rads(e2))
     else:
         conv2m1 = conv_os(q, e2["fft"], r2z, ry2, rx2, fs2) - 1.0
     psi = psi_ext[h:h + bz]
