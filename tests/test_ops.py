@@ -230,3 +230,63 @@ def test_find_peaks_hot_slice_fallback(rng):
     p_small, _ = detect_beads(vol, DoGParameters(sigma=1.6, threshold=0.01,
                                                  max_peaks=1024))
     np.testing.assert_allclose(p_big, p_small, atol=1e-6)
+
+
+def test_fft_shape_policy():
+    """The deterministic/fast FFT shape policy: 5-smooth sizes, skip the
+    blocklisted sizes on large transforms, leave small transforms
+    untouched (r5; measured in examples/fft_determinism_probe.py)."""
+    from spim_registration_tpu.ops.fftconv import (
+        _fft_size,
+        fft_shape_for,
+        pad_shape_for,
+    )
+
+    assert _fft_size(17) == 18 and _fft_size(128) == 128
+    # large transforms skip 288/576 everywhere
+    assert pad_shape_for((256,) * 3, (33,) * 3) == (300, 300, 300)
+    assert pad_shape_for((512,) * 3, (33,) * 3) == (600, 600, 600)
+    # small transforms keep the minimal 5-smooth size (288 incl.)
+    assert fft_shape_for((288, 64, 64)) == (288, 64, 64)
+    # the innermost axis is never a blocklisted size on large transforms
+    for n in (250, 256, 280, 300):
+        fs = fft_shape_for((n, 320, 288))
+        assert fs[-1] != 288, fs
+
+
+def test_solve3x3_matches_numpy(rng):
+    """Closed-form adjugate 3x3 solve == np.linalg.solve on batched
+    well-conditioned systems (the RANSAC fit hot path)."""
+    from spim_registration_tpu.models.affine import _solve3x3
+
+    A = rng.standard_normal((64, 3, 3)).astype(np.float32)
+    A += 3.0 * np.eye(3, dtype=np.float32)  # well-conditioned
+    B = rng.standard_normal((64, 3, 3)).astype(np.float32)
+    want = np.linalg.solve(A.astype(np.float64), B.astype(np.float64))
+    got = np.asarray(_solve3x3(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_trilinear_row_gather_matches_scalar_gather(rng):
+    """The (N, 8) all-corners row gather == the copy-free 8-gather form
+    on random coords INCLUDING exact-edge and out-of-bounds positions
+    (wrapped rows must only ever be weighted by exactly zero)."""
+    from spim_registration_tpu.ops import resample as rs
+
+    vol = jnp.asarray(rng.standard_normal((13, 11, 17)), jnp.float32)
+    Z, Y, X = vol.shape
+    coords = np.concatenate([
+        rng.uniform(-2, np.array([Z, Y, X]) + 1, size=(300, 3)),
+        # exact edges and corners (the wrap-read positions)
+        np.array([[0.0, 0.0, 0.0], [Z - 1.0, Y - 1.0, X - 1.0],
+                  [Z - 1.0, 0.0, X - 1.0], [5.0, Y - 1.0, 3.0],
+                  [Z - 1.0, 4.4, 2.2], [3.3, 2.2, X - 1.0]]),
+    ]).astype(np.float32)
+    v_fast, in_fast = rs.trilinear_sample(vol, jnp.asarray(coords))
+    import unittest.mock as mock
+
+    with mock.patch.object(rs, "_QUAD_GATHER_MAX_ELEMS", 0):
+        v_ref, in_ref = rs.trilinear_sample(vol, jnp.asarray(coords))
+    np.testing.assert_array_equal(np.asarray(in_fast), np.asarray(in_ref))
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_ref),
+                               atol=1e-6)
